@@ -1,0 +1,186 @@
+"""URL canonicalization — the single normalization used engine-wide.
+
+The canonical form pins the URL-seen identity (north_rule:
+"canonicalized URL murmur3 hashes"). Rules (deterministic, locale-free):
+
+1. relative hrefs resolved against the base URL (RFC 3986 merge)
+2. scheme + host lowercased
+3. default ports stripped (http:80, https:443)
+4. fragment dropped
+5. dot-segments removed from the path; empty path -> "/"
+6. percent-encoding normalized: unreserved chars decoded, hex uppercased
+7. query params parsed and sorted by (key, value); blank values kept
+8. userinfo preserved as-is (rare; kept for fidelity)
+
+pomp itself performs no canonicalization — dedup is left to user
+middleware returning None (pomp/core/base.py:process_request). The
+north rule mandates it, so the rules above are OUR pinned contract;
+``tests/fixtures/canon_cases.json`` + the idempotence property test
+(c(c(u)) == c(u)) freeze them.
+
+Spark surface: ``canonicalize_udf`` — an Arrow-batched pandas UDF
+(never a per-row Python UDF). Hashing: ``url_hash_col`` uses the
+JVM-side ``F.hash`` (murmur3_32) paired with ``F.xxhash64`` when 64
+bits are needed for the seen-set at 10^10 scale.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21, "ws": 80, "wss": 443}
+
+# RFC 3986 unreserved + sub-delims we keep literal in paths/queries.
+_PATH_SAFE = "/:@!$&'()*+,;=~-._"
+_QUERY_SAFE = ":@!$&'()*+,;/?~-._"
+
+_PCT_RE = re.compile(r"%[0-9a-fA-F]{2}")
+
+
+def _norm_pct(component: str, safe: str) -> str:
+    """Decode then re-encode: unreserved chars come out literal, everything
+    else re-encodes with uppercase hex. Idempotent by construction."""
+    return quote(unquote(component), safe=safe)
+
+
+def _norm_path(path: str) -> str:
+    if not path:
+        return "/"
+    # remove dot segments (RFC 3986 §5.2.4)
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+            continue
+        out.append(seg)
+    p = "/".join(out)
+    if not p.startswith("/"):
+        p = "/" + p
+    return _norm_pct(p, _PATH_SAFE)
+
+
+def _norm_query(query: str) -> str:
+    if not query:
+        return ""
+    pairs: list[tuple[str, bool, str]] = []  # (key, had_eq, value)
+    for part in query.split("&"):
+        if not part:
+            continue
+        k, sep, v = part.partition("=")
+        pairs.append((
+            _norm_pct(unquote_plus_safe(k), "~-._"),
+            bool(sep),
+            _norm_pct(unquote_plus_safe(v), "~-._") if sep else "",
+        ))
+    pairs.sort(key=lambda p: (p[0], p[2]))
+    return "&".join(f"{k}={v}" if had_eq else k for k, had_eq, v in pairs)
+
+
+def unquote_plus_safe(s: str) -> str:
+    # '+' means space in form-encoded queries; normalize to %20 via space.
+    return unquote(s.replace("+", " "))
+
+
+def canonicalize(url: str, base: str | None = None) -> str | None:
+    """Canonicalize one URL. Returns None for unusable inputs (empty,
+    javascript:/mailto:/data: pseudo-schemes, fragment-only hrefs)."""
+    if url is None:
+        return None
+    url = url.strip()
+    if not url or url.startswith("#"):
+        return None
+    if base:
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme in ("javascript", "mailto", "data", "tel", "about"):
+        return None
+    if not scheme:
+        scheme = "http"
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    try:
+        port = parts.port
+    except ValueError:
+        return None
+    netloc = host
+    if parts.username:
+        userinfo = parts.username + (f":{parts.password}" if parts.password else "")
+        netloc = f"{userinfo}@{host}"
+    if port is not None and port != _DEFAULT_PORTS.get(scheme):
+        netloc = f"{netloc}:{port}"
+    path = _norm_path(parts.path)
+    query = _norm_query(parts.query)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
+    """Vectorized (Arrow-batch) canonicalization for pandas UDFs."""
+    if bases is None:
+        return urls.map(lambda u: canonicalize(u) if u is not None else None)
+    return pd.Series(
+        [canonicalize(u, b) if u is not None else None for u, b in zip(urls, bases)],
+        index=urls.index,
+        dtype="object",
+    )
+
+
+def host_of(url: str | None) -> str | None:
+    if not url:
+        return None
+    try:
+        return (urlsplit(url).hostname or "").lower() or None
+    except ValueError:
+        return None
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return urls.map(host_of)
+
+
+# ---------------------------------------------------------------- Spark side
+
+def register_udfs():
+    """Build the pandas UDFs lazily (keeps this module importable without
+    a SparkSession for the pure-python oracle tests)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def canonicalize_udf(urls: pd.Series) -> pd.Series:
+        return canonicalize_series(urls)
+
+    @F.pandas_udf(T.StringType())
+    def canonicalize_with_base_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+        return canonicalize_series(urls, bases)
+
+    @F.pandas_udf(T.StringType())
+    def host_udf(urls: pd.Series) -> pd.Series:
+        return host_series(urls)
+
+    return canonicalize_udf, canonicalize_with_base_udf, host_udf
+
+
+def url_hash_col(col):
+    """murmur3_32 of the canonical url, widened with xxhash64 so the
+    10^10-frontier seen-set has a 64-bit identity (32-bit murmur alone
+    collides at ~2^16 urls; see SURVEY §1.3). JVM-side, codegen'd."""
+    from pyspark.sql import functions as F
+
+    return F.xxhash64(col).alias("url_hash")
+
+
+def murmur3_col(col):
+    from pyspark.sql import functions as F
+
+    return F.hash(col).alias("url_murmur3")

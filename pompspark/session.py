@@ -1,0 +1,68 @@
+"""SparkSession construction with the package shipped to executors.
+
+Local mode: Python workers are separate processes spawned by the JVM
+and inherit PYTHONPATH from the driver's environment — so we export
+the package root there BEFORE the JVM starts. Cluster mode: submit
+with ``spark-submit --py-files pompspark.zip`` (see bench/run_crawl.py
+and ``make_pyfiles_zip``); ``build_spark`` also calls ``addPyFile`` on
+the zip when one exists, so either path works.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_PKG_DIR)
+
+
+def make_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the package for spark-submit --py-files."""
+    out_path = out_path or os.path.join(_ROOT, "pompspark.zip")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for fn in sorted(os.listdir(_PKG_DIR)):
+            if fn.endswith(".py"):
+                z.write(os.path.join(_PKG_DIR, fn), f"pompspark/{fn}")
+    return out_path
+
+
+def build_spark(
+    master: str | None = None,
+    app_name: str = "pompspark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+):
+    """Standard session: AQE on, Arrow on, UTC, package importable on
+    executors. ``master=None`` defers to spark-submit / env."""
+    # Make the package importable in executor Python workers (local mode).
+    pp = os.environ.get("PYTHONPATH", "")
+    if _ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = _ROOT + (os.pathsep + pp if pp else "")
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    cores = os.cpu_count() or 8
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_CPUS", min(32, cores))
+    )
+    b = (
+        b.config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    zip_path = os.path.join(_ROOT, "pompspark.zip")
+    if os.path.exists(zip_path):
+        spark.sparkContext.addPyFile(zip_path)
+    return spark
