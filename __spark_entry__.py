@@ -1,38 +1,395 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes each implemented operator from SURVEY.md §2.3 on
+a deterministic frontier/pages universe derived from the ``documents``
+table (so the DuckDB oracle can derive the IDENTICAL input from its
+pre-registered views — no side-channel files). Numeric outputs stay
+integral wherever possible so value-hashes can't drift on float
+formatting.
+
+Non-SQL-expressible ops (canonicalizer UDF vs analytic ground truth is
+SQL-expressible by construction; murmur3/bloom/engine-trace are not)
+are included without an oracle entry -> rows-only check, per contract.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HOSTS = 20
+
+# ---------------------------------------------------------------------------
+# shared deterministic derivations (Spark side). The SQL twins are in
+# oracle_sql() — keep the two in lockstep.
+# ---------------------------------------------------------------------------
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic frontier: one row per document, 20 hosts, integral
+    priority (pri 0..99), depth 0..3, seq = doc_id."""
+    d = _documents(spark, sf_dir)
+    hid = (F.col("doc_id") % N_HOSTS).cast("long")
+    return d.select(
+        F.concat(F.lit("http://h"), hid.cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), hid.cast("string"), F.lit(".example")).alias("host"),
+        (F.col("doc_id") % 4).cast("int").alias("depth"),
+        ((F.col("doc_id") * 37) % 100).cast("long").alias("pri"),
+        F.col("doc_id").cast("long").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_dequeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: rank-over-window per host + per-host budget + global top-k.
+    pomp analog: BaseQueue.get_requests (pomp/core/base.py)."""
+    from pyspark.sql import Window as W
+
+    f = _frontier(spark, sf_dir)
+    keys = [F.col("pri").desc(), F.col("depth").asc(), F.col("seq").asc()]
+    w = W.partitionBy("host").orderBy(*keys)
+    return (
+        f.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy(*keys)
+        .limit(100)
+        .select("url", "host", "depth", "pri", "seq", "rn")
+    )
+
+
+def q_frontier_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: anti-join dedup merge — candidates not already in the
+    frontier. pomp analog: put_requests after middleware None-drop."""
+    f = _frontier(spark, sf_dir)
+    seen = f.filter(F.col("seq") % 2 == 0).select("url")
+    candidates = f.filter(F.col("seq") % 3 == 0).select("url", "host", "depth", "seq")
+    return candidates.join(seen, "url", "left_anti").select("url", "host", "depth", "seq")
+
+
+def q_link_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: outlink explosion — 5 synthetic children per page, then
+    per-child rows (src, pos, dst). pomp analog: next_requests."""
+    f = _frontier(spark, sf_dir)
+    k = F.explode(F.sequence(F.lit(0), F.lit(4))).alias("pos")
+    e = f.select("url", "seq", k)
+    child_id = (F.col("seq") * 13 + F.col("pos") * 7) % 1000
+    child_host = (F.col("seq") + F.col("pos")) % N_HOSTS
+    return e.select(
+        F.col("url").alias("src_url"),
+        F.col("pos").cast("long").alias("pos"),
+        F.concat(
+            F.lit("http://h"), child_host.cast("string"),
+            F.lit(".example/p"), child_id.cast("string"),
+        ).alias("dst_url"),
+    )
+
+
+def q_fetch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round metrics aggregation (north rule: metrics rows every
+    round). Simulated fetch outcomes derived from doc_id."""
+    d = _documents(spark, sf_dir)
+    log = d.select(
+        (F.col("doc_id") % 7).cast("int").alias("round"),
+        F.when(F.col("doc_id") % 11 == 0, 404).otherwise(200).alias("status"),
+        F.col("n_chars").cast("long").alias("bytes"),
+    )
+    return (
+        log.groupBy("round")
+        .agg(
+            F.count("*").alias("urls_fetched"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("urls_ok"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("urls_err"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .select("round", "urls_fetched", "urls_ok", "urls_err", "bytes")
+    )
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots enforcement skeleton: broadcast-join frontier x robots,
+    drop disallowed path prefixes. Every 5th host disallows /p1*."""
+    f = _frontier(spark, sf_dir)
+    hosts = spark.range(0, N_HOSTS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias("rhost"),
+        F.when(F.col("id") % 5 == 0, F.lit("/p1")).otherwise(F.lit(None)).alias("disallow_prefix"),
+    )
+    path = F.concat(F.lit("/p"), F.col("seq").cast("string"))
+    return (
+        f.join(F.broadcast(hosts), f["host"] == hosts["rhost"], "left")
+        .filter(
+            F.col("disallow_prefix").isNull()
+            | ~path.startswith(F.col("disallow_prefix"))
+        )
+        .select("url", "host", "seq")
+    )
+
+
+def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness cap: host h_i may fetch (2 + i % 3) urls per
+    round; report how many each host actually gets."""
+    from pyspark.sql import Window as W
+
+    f = _frontier(spark, sf_dir)
+    hid = F.regexp_extract("host", r"h(\d+)\.example", 1).cast("long")
+    keys = [F.col("pri").desc(), F.col("seq").asc()]
+    w = W.partitionBy("host").orderBy(*keys)
+    return (
+        f.withColumn("cap", (F.lit(2) + hid % 3))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("cap"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_selected"), F.max("cap").cast("long").alias("cap"))
+        .select("host", "n_selected", "cap")
+    )
+
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizer UDF vs analytic ground truth: messy url (upper
+    scheme/host, default port, unsorted query, fragment) -> canonical.
+    The oracle states the expected output by construction."""
+    from pompspark.canon import register_udfs
+
+    canon_udf, _, _ = register_udfs()
+    f = _frontier(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTP://"), F.upper(F.col("host")), F.lit(":80/p"),
+        F.col("seq").cast("string"), F.lit("?b=2&a=1#frag"),
+    )
+    return f.select(
+        F.col("url").alias("expected_base"),
+        canon_udf(messy).alias("canonical"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup over the webtext payload: md5-keyed groups,
+    representative = min doc_id (training-data pipeline op)."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_dupes"))
+        .select("text_md5", "rep_doc_id", "n_dupes")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality counters per doc (integral outputs only): chars, words
+    (space-separated), dots — crawl-side quality scoring primitive."""
+    d = _documents(spark, sf_dir)
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_dots = n_chars - F.length(F.replace(F.col("text"), F.lit("."), F.lit("")))
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_txt"),
+        F.when(n_chars == 0, 0).otherwise(n_spaces + 1).cast("long").alias("n_words"),
+        n_dots.cast("long").alias("n_dots"),
+        "lang",
+    )
+
+
+def q_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per language (training-data stat)."""
+    d = _documents(spark, sf_dir)
+    n_chars = F.length("text")
+    words = F.when(n_chars == 0, 0).otherwise(
+        n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(words).cast("long").alias("n_tokens"),
+            F.sum(n_chars).cast("long").alias("n_chars_sum"),
+        )
+        .select("lang", "n_docs", "n_tokens", "n_chars_sum")
+    )
+
+
+def q_url_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host salting: murmur3-derived salt spread (Spark-specific
+    hash -> rows-only check). north rule: 'explicit salting'."""
+    f = _frontier(spark, sf_dir)
+    return (
+        f.select(F.pmod(F.hash("url"), F.lit(16)).cast("int").alias("salt"))
+        .groupBy("salt")
+        .agg(F.count("*").alias("n"))
+        .orderBy("salt")
+    )
+
+
+def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine loop (O11) on the 12-page fixture sitemap —
+    non-SQL-expressible (iterative); rows-only check. Trace equivalence
+    vs the pure-python oracle is pinned in tests/test_simple_crawler."""
+    import tempfile
+
+    from pompspark.engine import simulated_engine
+    from pompspark.fixtures import SMALL_SEED, small_pages_df, small_robots_df
+
+    workdir = tempfile.mkdtemp(prefix="pompspark-entry-")
+    eng = simulated_engine(
+        spark, workdir, small_pages_df(spark),
+        robots_df=small_robots_df(spark),
+        ordering="bfs", per_round_budget=3, per_host_budget=2,
+    )
+    eng.seed([SMALL_SEED])
+    eng.run(max_rounds=50)
+    return eng.trace()
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a BFS crawl with robots + politeness over the fixture
+    web, returning the visit trace (driver checks rows>0)."""
+    return q_crawl_trace_bfs(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "frontier_dequeue": q_frontier_dequeue,
+        "frontier_merge": q_frontier_merge,
+        "link_explode": q_link_explode,
+        "fetch_metrics": q_fetch_metrics,
+        "robots_filter": q_robots_filter,
+        "politeness_budget": q_politeness_budget,
+        "canonicalize": q_canonicalize,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "lang_token_stats": q_lang_token_stats,
+        "url_salt_distribution": q_url_salt_distribution,
+        "crawl_trace_bfs": q_crawl_trace_bfs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_FRONTIER_SQL = f"""
+    SELECT 'http://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example/p'
+               || CAST(doc_id AS VARCHAR)                      AS url,
+           'h' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example' AS host,
+           CAST(doc_id % 4 AS INT)                             AS depth,
+           CAST((doc_id * 37) % 100 AS BIGINT)                 AS pri,
+           CAST(doc_id AS BIGINT)                              AS seq
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_dequeue": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                         PARTITION BY host
+                         ORDER BY pri DESC, depth ASC, seq ASC) AS BIGINT) AS rn
+              FROM f
+            )
+            SELECT url, host, depth, pri, seq, rn
+            FROM r WHERE rn <= 3
+            ORDER BY pri DESC, depth ASC, seq ASC
+            LIMIT 100
+        """,
+        "frontier_merge": f"""
+            WITH f AS ({_FRONTIER_SQL})
+            SELECT url, host, depth, seq FROM f c
+            WHERE seq % 3 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM f s WHERE s.seq % 2 = 0 AND s.url = c.url)
+        """,
+        "link_explode": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            k AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) AS t(pos))
+            SELECT f.url AS src_url,
+                   CAST(k.pos AS BIGINT) AS pos,
+                   'http://h' || CAST((f.seq + k.pos) % {N_HOSTS} AS VARCHAR)
+                     || '.example/p'
+                     || CAST((f.seq * 13 + k.pos * 7) % 1000 AS VARCHAR) AS dst_url
+            FROM f CROSS JOIN k
+        """,
+        "fetch_metrics": """
+            WITH log AS (
+              SELECT CAST(doc_id % 7 AS INT) AS round,
+                     CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+                     CAST(n_chars AS BIGINT) AS bytes
+              FROM documents
+            )
+            SELECT round,
+                   COUNT(*) AS urls_fetched,
+                   CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS urls_ok,
+                   CAST(SUM(CASE WHEN status <> 200 THEN 1 ELSE 0 END) AS BIGINT) AS urls_err,
+                   CAST(SUM(bytes) AS BIGINT) AS bytes
+            FROM log GROUP BY round
+        """,
+        "robots_filter": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            hosts AS (
+              SELECT 'h' || CAST(i AS VARCHAR) || '.example' AS rhost,
+                     CASE WHEN i % 5 = 0 THEN '/p1' END AS disallow_prefix
+              FROM (SELECT UNNEST(RANGE(0, {N_HOSTS})) AS i)
+            )
+            SELECT f.url, f.host, f.seq
+            FROM f LEFT JOIN hosts ON f.host = hosts.rhost
+            WHERE disallow_prefix IS NULL
+               OR NOT STARTS_WITH('/p' || CAST(f.seq AS VARCHAR), disallow_prefix)
+        """,
+        "politeness_budget": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            r AS (
+              SELECT host,
+                     2 + CAST(REGEXP_EXTRACT(host, 'h(\\d+)\\.example', 1) AS BIGINT) % 3 AS cap,
+                     ROW_NUMBER() OVER (PARTITION BY host
+                                        ORDER BY pri DESC, seq ASC) AS rn
+              FROM f
+            )
+            SELECT host, COUNT(*) AS n_selected, CAST(MAX(cap) AS BIGINT) AS cap
+            FROM r WHERE rn <= cap GROUP BY host
+        """,
+        "canonicalize": f"""
+            WITH f AS ({_FRONTIER_SQL})
+            SELECT url AS expected_base,
+                   url || '?a=1&b=2' AS canonical
+            FROM f
+        """,
+        "dedup_exact": """
+            SELECT MD5(text) AS text_md5,
+                   MIN(doc_id) AS rep_doc_id,
+                   COUNT(*) AS n_dupes
+            FROM documents GROUP BY MD5(text)
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_txt,
+                   CAST(CASE WHEN LENGTH(text) = 0 THEN 0
+                        ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                        END AS BIGINT) AS n_words,
+                   CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT) AS n_dots,
+                   lang
+            FROM documents
+        """,
+        "lang_token_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 0
+                        ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                        END) AS BIGINT) AS n_tokens,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum
+            FROM documents GROUP BY lang
+        """,
+        # url_salt_distribution: Spark murmur3 — rows-only check
+        # crawl_trace_bfs: iterative engine loop — rows-only check
+    }

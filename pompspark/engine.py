@@ -1,0 +1,275 @@
+"""The crawl engine: pomp's ``Pomp.pump`` loop as batch DataFrame
+rounds (O11).
+
+pomp analog, stage by stage (pomp/core/engine.py Pomp.pump):
+    prepare()            -> CrawlEngine.seed() + table creation
+    queue.get_requests   -> frontier.dequeue (rank-over-window + budgets)
+    process_requests     -> request_middlewares (DataFrame transforms;
+                            a middleware FILTERS instead of returning
+                            None — SURVEY §2.4.2 drop semantics)
+    downloader.get       -> fetcher.fetch (join or mapInPandas batch)
+    process_response(s)  -> response_middlewares, reverse order
+    process_exception    -> status/error columns; errors never throw
+    extract_items        -> the extract UDF inside the fetcher
+    on_parse_result      -> items -> pipelines -> fetch_log append;
+                            requests -> link merge -> frontier append
+    StopCommand          -> empty dequeue ends the loop
+    finish()             -> pipelines' stop hook + final checkpoint
+
+Durability ([A], north rule): after every round the engine appends
+metrics (per partition) and a checkpoint row (snapshot version of
+every table) — ``resume()`` rolls every table back to the last
+committed checkpoint and continues, byte-for-byte identical to an
+uninterrupted run (tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pompspark import schemas
+from pompspark.canon import register_udfs
+from pompspark.fetch import SimulatedFetcher
+from pompspark.frontier import (
+    FRONTIER_COLS,
+    FrontierStore,
+    dequeue,
+    new_frontier_rows,
+    normalize_seeds,
+)
+from pompspark.tables import Catalog
+
+Transform = Callable[[DataFrame], DataFrame]
+
+TABLES = ["frontier", "frontier_state", "fetch_log", "metrics", "trace", "seen"]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        fetcher,
+        robots_df: DataFrame | None = None,
+        ordering: str = "bfs",
+        per_round_budget: int = 1000,
+        per_host_budget: int = 10,
+        round_seconds: float = 1.0,
+        request_middlewares: Sequence[Transform] = (),
+        response_middlewares: Sequence[Transform] = (),
+        pipelines: Sequence[Transform] = (),
+        compact_every: int = 8,
+        use_seen_filter: bool = False,
+        seen_shards: int = 16,
+        seen_capacity_per_shard: int = 1_000_000,
+    ):
+        self.spark = spark
+        self.cat = Catalog(spark, workdir)
+        self.fetcher = fetcher
+        self.ordering = ordering
+        self.per_round_budget = per_round_budget
+        self.per_host_budget = per_host_budget
+        self.round_seconds = round_seconds
+        self.request_middlewares = list(request_middlewares)
+        self.response_middlewares = list(response_middlewares)
+        self.pipelines = list(pipelines)
+        self.compact_every = compact_every
+
+        if robots_df is None:
+            robots_df = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+        self.robots_df = robots_df
+
+        self.store = FrontierStore(self.cat)
+        self.cat.create("fetch_log", schemas.FETCH_LOG)
+        self.cat.create("metrics", schemas.METRICS)
+        self.cat.create("checkpoint", schemas.CHECKPOINT)
+        self.cat.create("trace", schemas.TRACE)
+        self.cat.create("robots_cache", schemas.ROBOTS_CACHE)
+        if self.cat.current_version("robots_cache") == 1 and robots_df is not None:
+            self.cat.append("robots_cache", robots_df)
+
+        self.seen_filter = None
+        if use_seen_filter:
+            from pompspark.seen import SeenFilter
+
+            self.seen_filter = SeenFilter(
+                self.cat, n_shards=seen_shards,
+                capacity_per_shard=seen_capacity_per_shard,
+            )
+
+        self.round = 0
+        self.urls_fetched_total = 0
+
+    # ------------------------------------------------------------ lifecycle
+    def seed(self, seeds: list) -> int:
+        rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0)
+        self.store.append(rows)
+        if self.seen_filter is not None:
+            self.seen_filter.add(self.store.all_rows().select("url_hash"))
+        self._checkpoint(budget_left=0)
+        return self.cat.current_version("frontier")
+
+    def _checkpoint(self, budget_left: int) -> None:
+        snap = self.cat.snapshot_ids(TABLES)
+        row = self.spark.createDataFrame(
+            [(self.round, snap, budget_left)], schema=schemas.CHECKPOINT
+        )
+        self.cat.append("checkpoint", row)
+
+    def resume(self) -> int:
+        """Roll every state table back to the last committed checkpoint
+        (exact resume after a mid-round crash) and restore the round
+        counter. Returns the restored round."""
+        cp = (
+            self.cat.read("checkpoint")
+            .orderBy(F.col("round").desc())
+            .limit(1)
+            .collect()
+        )
+        if not cp:
+            raise RuntimeError("no checkpoint to resume from")
+        row = cp[0]
+        for t, v in row.snapshot_ids.items():
+            self.cat.rollback(t, v)
+        self.round = row.round
+        return self.round
+
+    # ------------------------------------------------------------ the loop
+    def run(self, max_rounds: int | None = None, total_budget: int | None = None):
+        """pump: rounds until the frontier is empty (pomp StopCommand)
+        or budgets run out."""
+        budget = total_budget if total_budget is not None else (1 << 62)
+        while budget > 0 and (max_rounds is None or self.round < max_rounds):
+            fetched = self.run_round(min(budget, self.per_round_budget))
+            if fetched == 0:
+                break
+            budget -= fetched
+        return self.cat.read("trace")
+
+    def run_round(self, round_budget: int | None = None) -> int:
+        """One DataFrame job: dequeue -> fetch/extract -> sinks -> merge.
+        Returns the number of urls fetched (0 = frontier exhausted)."""
+        r = self.round + 1
+        t0 = time.monotonic()
+
+        batch = dequeue(
+            self.store.queued(),
+            self.robots_df,
+            ordering=self.ordering,
+            per_round_budget=round_budget or self.per_round_budget,
+            per_host_budget=self.per_host_budget,
+            round_seconds=self.round_seconds,
+        )
+        for mw in self.request_middlewares:  # pomp process_request order
+            batch = mw(batch)
+        batch = batch.persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return 0
+
+        fetched = self.fetcher.fetch(batch)
+        for mw in reversed(self.response_middlewares):  # pomp reverse order
+            fetched = mw(fetched)
+        fetched = fetched.persist()
+        fetched.count()  # materialize once; downstream reads the cache
+        batch.unpersist()
+
+        # items -> pipelines -> fetch_log (pomp BasePipeline.process chain)
+        items = fetched
+        for pipe in self.pipelines:
+            items = pipe(items)
+        self.cat.append(
+            "fetch_log",
+            items.select(
+                "url", F.lit(r).alias("round"), "status", "warc_ts", "text",
+                F.size("links").alias("n_links"), "error",
+            ),
+            partition_by=None,
+        )
+
+        # trace: seq encodes (round, rank) -> global fetch order
+        self.cat.append(
+            "trace",
+            fetched.select(
+                (F.lit(r).cast("long") * F.lit(1 << 20)
+                 + F.col("fetch_rank")).alias("seq"),
+                F.lit(r).alias("round"), "url", "depth", "host",
+            ),
+        )
+
+        # frontier state transitions
+        self.store.mark(
+            fetched,
+            F.when(F.col("status") == 200, F.lit("fetched")).otherwise(F.lit("error")),
+            r,
+        )
+
+        # discoveries -> canonicalize -> dedup -> anti-join -> merge (O9/O2)
+        _, canon_base_udf, host_udf = register_udfs()
+        disc = (
+            fetched.filter(F.col("status") == 200)
+            .select("url", "depth", "fetch_rank", F.posexplode("links").alias("pos", "href"))
+            .withColumn("child", canon_base_udf("href", "url"))
+            .filter(F.col("child").isNotNull())
+            .select(
+                F.col("child").alias("url"),
+                host_udf("child").alias("host"),
+                (F.col("depth") + 1).alias("depth"),
+                "fetch_rank", "pos",
+            )
+            .filter(F.col("host").isNotNull())
+        )
+        new_rows = new_frontier_rows(
+            disc, self.store.all_rows(), self.robots_df, r,
+            seen_filter=self.seen_filter,
+        )
+        new_rows = new_rows.persist()
+        n_new = new_rows.count()
+        if n_new:
+            self.store.append(new_rows)
+            if self.seen_filter is not None:
+                self.seen_filter.add(new_rows.select("url_hash"))
+
+        # metrics: per-partition lineage rows ([A] north rule)
+        self.cat.append(
+            "metrics",
+            fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                F.count("*").alias("urls_fetched"),
+                F.sum(F.when(F.col("status") == 200, F.octet_length("html")).otherwise(0)).alias("bytes"),
+            ).select(
+                F.lit(r).alias("round"), "partition_id",
+                F.col("urls_fetched").cast("long"),
+                F.lit(n_new).cast("long").alias("urls_new"),
+                F.col("bytes").cast("long"),
+                F.lit(int((time.monotonic() - t0) * 1000)).cast("long").alias("wall_ms"),
+            ),
+        )
+
+        new_rows.unpersist()
+        fetched.unpersist()
+
+        self.round = r
+        self.urls_fetched_total += n_batch
+        self._checkpoint(budget_left=0)
+        if self.compact_every and r % self.compact_every == 0:
+            self.store.compact()
+        return n_batch
+
+    # ------------------------------------------------------------ outputs
+    def trace(self) -> DataFrame:
+        return self.cat.read("trace").orderBy("seq")
+
+    def fetch_log(self) -> DataFrame:
+        return self.cat.read("fetch_log")
+
+    def metrics(self) -> DataFrame:
+        return self.cat.read("metrics")
+
+
+def simulated_engine(spark, workdir, pages_df, **kw) -> CrawlEngine:
+    return CrawlEngine(spark, workdir, SimulatedFetcher(pages_df), **kw)

@@ -1,0 +1,149 @@
+"""Fetch stage (O5/O6/O7): batch -> responses with error isolation.
+
+pomp analog: ``BaseDownloader.get(requests)`` (pomp/core/base.py) and
+its contrib implementations — ``UrllibDownloader`` (serial),
+``ConcurrentDownloader`` (process pool) in pomp/contrib. Spark
+executors ARE the pool (SURVEY C4): ``pool_size`` maps to the round
+budget + shuffle partitions, and the per-request try/except that turns
+failures into ``BaseCrawlException`` (pomp/contrib/urllibtools.py)
+becomes status/error COLUMNS — a failed fetch never throws an executor
+(SURVEY §2.4.3).
+
+Two fetchers behind one interface:
+- ``SimulatedFetcher``: the sandbox web — a join against the ``pages``
+  table (BASELINE.json input shape). Missing url -> status 404 row.
+- ``HttpFetcher``: the real-cluster path — batched HTTP inside
+  mapInPandas. Network is unavailable in this sandbox, so the
+  transport is a stub raising NotImplementedError unless a
+  deterministic ``fake_fetch`` is injected (tests use that to prove
+  the plumbing: schema, batching, error isolation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pompspark.extract import register_extract_udf
+
+# batch columns in, response columns appended
+RESPONSE_COLS = ["status", "warc_ts", "html", "text", "links", "error"]
+
+
+class SimulatedFetcher:
+    """Fetch = left join batch -> pages on url, then the extract UDF.
+
+    Physical plan: the batch (≤ per_round_budget rows) is the SMALL
+    side — broadcast it and stream the pages scan exactly once per
+    round; only (url, warc_ts, html) columns are read (pruning).
+    Extraction runs on the ≤batch-size join output, not on the scan.
+    """
+
+    def __init__(self, pages: DataFrame):
+        self.pages = pages
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        # A single outer join can't broadcast the preserved (batch)
+        # side — Spark would shuffle the whole pages table. Instead:
+        # inner BHJ (build = broadcast batch, stream = one pages scan)
+        # for the hits, then a tiny anti-join for the 404 misses.
+        pages = self.pages.select(
+            F.col("url").alias("__p_url"), "warc_ts", "html"
+        )
+        hits = pages.join(
+            F.broadcast(batch), F.col("__p_url") == batch["url"], "inner"
+        ).drop("__p_url")
+        ext = register_extract_udf()
+        hits = (
+            hits.withColumn("e", ext("html"))
+            .withColumn("status", F.lit(200))
+            .withColumn("text", F.col("e.text"))
+            .withColumn("links", F.col("e.links"))
+            .withColumn("error", F.lit(None).cast("string"))
+            .drop("e")
+        )
+        misses = (
+            batch.join(
+                F.broadcast(hits.select(F.col("url").alias("__h_url"))),
+                batch["url"] == F.col("__h_url"),
+                "left_anti",
+            )
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("status", F.lit(404))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("links", F.array().cast("array<string>"))
+            .withColumn("error", F.lit("not_found"))
+        )
+        return hits.unionByName(misses.select(*hits.columns))
+
+
+class HttpFetcher:
+    """Real-cluster fetch: Arrow-batched HTTP via mapInPandas.
+
+    ``transport(urls: pd.Series) -> pd.DataFrame[status:int,
+    warc_ts:datetime64, html:object(bytes), error:object]`` — inject a
+    deterministic fake in tests; the default stub documents where a
+    requests/aiohttp pool goes on a real cluster (that lib is not in
+    this container). Extraction happens in the same pass — one Python
+    hop per row batch, not two.
+    """
+
+    def __init__(self, transport: Callable[[pd.Series], pd.DataFrame] | None = None,
+                 timeout: float = 30.0):
+        self.transport = transport
+        self.timeout = timeout
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        from pompspark.extract import extract_frame
+
+        transport = self.transport
+        if transport is None:
+            def transport(urls: pd.Series) -> pd.DataFrame:  # pragma: no cover
+                raise NotImplementedError(
+                    "no network in this sandbox: inject a transport "
+                    "(e.g. a requests.Session pool) on a real cluster"
+                )
+
+        out_schema = T.StructType(
+            list(batch.schema.fields)
+            + [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("warc_ts", T.TimestampType()),
+                T.StructField("html", T.BinaryType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("links", T.ArrayType(T.StringType())),
+                T.StructField("error", T.StringType()),
+            ]
+        )
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                try:
+                    resp = transport(b["url"])
+                except Exception as exc:  # error isolation: whole batch
+                    resp = pd.DataFrame({
+                        "status": [599] * len(b),
+                        "warc_ts": [pd.NaT] * len(b),
+                        "html": [None] * len(b),
+                        "error": [f"transport: {exc}"] * len(b),
+                    }, index=b.index)
+                b = b.copy()
+                for c in ("status", "warc_ts", "html"):
+                    b[c] = resp[c]
+                b["error"] = resp.get("error", pd.Series([None] * len(b), index=b.index))
+                ext = extract_frame(b["html"].where(b["status"] == 200, None))
+                b["text"] = ext["text"].where(b["status"] == 200, None)
+                b["links"] = ext["links"].where(
+                    b["status"] == 200, pd.Series([[]] * len(b), index=b.index)
+                )
+                yield b
+
+        return batch.mapInPandas(gen, schema=out_schema)

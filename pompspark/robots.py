@@ -1,0 +1,148 @@
+"""robots.txt parsing + enforcement. [A] — not in pomp (pomp leaves
+politeness to user middleware returning None from process_request,
+pomp/core/base.py); mandated by the north rule.
+
+Parsing is a pure function (+ Arrow-batched pandas UDF); enforcement
+is JVM-side column expressions so the dequeue/merge hot path stays in
+whole-stage codegen: path-prefix match via F.exists over the broadcast
+robots_cache join — no Python in the 10^10-row path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[str]]:
+    """Minimal deterministic robots.txt parser: honors User-agent
+    groups for ``agent`` (and ``*``), Disallow prefixes, Crawl-delay.
+    Empty Disallow lines (allow-all) are ignored. Returns
+    (crawl_delay|None, disallow_prefixes)."""
+    if not txt:
+        return None, []
+    # collect groups: consecutive User-agent lines share the rules that
+    # follow; the MOST SPECIFIC matching group applies (named beats *,
+    # never the union — RFC 9309 §2.2.1).
+    groups: list[tuple[list[str], float | None, list[str]]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    disallow: list[str] = []
+    in_rules = False
+
+    def flush():
+        nonlocal agents, delay, disallow, in_rules
+        if agents:
+            groups.append((agents, delay, disallow))
+        agents, delay, disallow, in_rules = [], None, [], False
+
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+            agents.append(val.lower())
+        elif key == "disallow":
+            in_rules = True
+            if val:
+                disallow.append(val)
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                delay = float(val)
+            except ValueError:
+                pass
+    flush()
+
+    named = [g for g in groups if agent.lower() in g[0]]
+    star = [g for g in groups if "*" in g[0]]
+    chosen = named or star
+    if not chosen:
+        return None, []
+    # multiple groups for the same agent merge (RFC 9309 §2.2.1)
+    out_delay = next((g[1] for g in chosen if g[1] is not None), None)
+    out_dis = [p for g in chosen for p in g[2]]
+    return out_delay, out_dis
+
+
+def parse_robots_frame(txts: pd.Series) -> pd.DataFrame:
+    delays, dis = [], []
+    for t in txts:
+        d, pre = parse_robots(t)
+        delays.append(d)
+        dis.append(pre)
+    return pd.DataFrame({"crawl_delay": delays, "disallow": dis}, index=txts.index)
+
+
+def register_parse_robots_udf():
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("crawl_delay double, disallow array<string>")
+    def parse_robots_udf(txts: pd.Series) -> pd.DataFrame:
+        return parse_robots_frame(txts)
+
+    return parse_robots_udf
+
+
+def build_robots_cache(robots_df):
+    """(host, robots_txt, fetched_ts) -> full ROBOTS_CACHE shape by
+    parsing the txt column (fills crawl_delay + disallow)."""
+    from pyspark.sql import functions as F
+
+    udf = register_parse_robots_udf()
+    return robots_df.withColumn("p", udf("robots_txt")).select(
+        "host", "robots_txt", "fetched_ts",
+        F.col("p.crawl_delay").alias("crawl_delay"),
+        F.col("p.disallow").alias("disallow"),
+    )
+
+
+# ------------------------------------------------------------- enforcement
+
+def path_col(url_col):
+    """URL path, '/' default — JVM-side (F.parse_url)."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.nullif(F.parse_url(url_col, F.lit("PATH")), F.lit("")), F.lit("/")
+    )
+
+
+def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host"):
+    """Broadcast-join robots onto df; adds ``disallowed`` (bool) and
+    ``crawl_delay`` (double, null = none). Hosts with no robots row
+    default to allow-all (FIXTURES F4). robots_cache is per-host —
+    small relative to the frontier — hence broadcast, never shuffled."""
+    from pyspark.sql import functions as F
+
+    r = robots_df.select(
+        F.col("host").alias("__r_host"), "crawl_delay", "disallow"
+    )
+    joined = df.join(
+        F.broadcast(r), F.col(host_col) == F.col("__r_host"), "left"
+    ).drop("__r_host")
+    p = path_col(F.col(url_col))
+    disallowed = F.when(
+        F.col("disallow").isNotNull(),
+        F.exists("disallow", lambda pre: p.startswith(pre)),
+    ).otherwise(F.lit(False))
+    return joined.withColumn("disallowed", disallowed)
+
+
+def politeness_cap_col(per_host_budget: int, round_seconds: float):
+    """Per-host per-round fetch cap: crawl_delay shrinks the cap
+    (contract in tests/oracle_sim.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from_delay = F.greatest(
+        F.lit(1),
+        F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")).cast("int"),
+    )
+    return F.when(
+        F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+        F.least(F.lit(per_host_budget), from_delay),
+    ).otherwise(F.lit(per_host_budget))

@@ -1,0 +1,314 @@
+"""URL-seen filters: sharded bloom + cuckoo over canonical-URL hashes.
+
+North rule: "bloom/cuckoo URL-seen" at 10^10-URL-frontier scale. A
+10^10-key seen-set cannot be a broadcast (12.5 GB at 10 bits/key), so
+filters are SHARDED blobs co-partitioned with the url_hash stream:
+shard = pmod(url_hash, n_shards); each shard row holds one numpy bit
+array (bloom) or bucket table (cuckoo), stored in the ``seen`` table
+(binary column — FIXTURES F5 schema).
+
+Exactness policy (SURVEY §7.4): a bloom false positive must never drop
+a never-seen url (the oracle trace would diverge), so the bloom is a
+PREFILTER ONLY — "definitely new" urls (bloom miss — no false
+negatives) skip the expensive exact anti-join against the frontier;
+only the maybe-seen remainder (true dupes + FP rate) pays it. Crawl
+link batches are dup-heavy, so the prefilter cuts the anti-join input
+by the dup fraction while guaranteeing trace equality.
+
+pomp analog: none built-in — dedup is user middleware returning None
+(pomp/core/base.py BaseMiddleware.process_request); the filters are an
+[A] addition. All vector math is numpy inside Arrow-batched pandas
+UDFs; nothing here is per-row Python.
+
+Hash design: the stream key is xxhash64(url) computed JVM-side
+(F.xxhash64; murmur3_32 = F.hash is also carried in the frontier per
+the north rule). Inside a filter, k bloom probes derive from the one
+64-bit key by splitting + Kirsch-Mitzenmacher double hashing
+(h_i = h_lo + i*h_hi mod nbits) — no re-hashing of strings in Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+# ------------------------------------------------------------------ bloom
+
+def bloom_params(capacity: int, fp_rate: float) -> tuple[int, int]:
+    """(nbits, nhashes) sized for capacity keys at fp_rate."""
+    nbits = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+    nbits = (nbits + 7) & ~7  # byte-align
+    k = max(1, round(nbits / capacity * math.log(2))) if capacity else 1
+    return nbits, k
+
+
+def _probes(hashes: np.ndarray, nbits: int, k: int) -> np.ndarray:
+    """(n, k) probe positions via double hashing of the 64-bit key."""
+    h = hashes.astype(np.uint64)
+    lo = h & np.uint64(0xFFFFFFFF)
+    hi = (h >> np.uint64(32)) | np.uint64(1)  # odd-ish, never 0
+    i = np.arange(k, dtype=np.uint64)
+    return ((lo[:, None] + i[None, :] * hi[:, None]) % np.uint64(nbits)).astype(np.int64)
+
+
+class Bloom:
+    """One shard's bloom filter over int64 keys (numpy bit array)."""
+
+    def __init__(self, nbits: int, nhashes: int, bits: np.ndarray | None = None):
+        self.nbits = nbits
+        self.nhashes = nhashes
+        self.bits = bits if bits is not None else np.zeros(nbits // 8, dtype=np.uint8)
+
+    @classmethod
+    def sized(cls, capacity: int, fp_rate: float = 0.01) -> "Bloom":
+        return cls(*bloom_params(capacity, fp_rate))
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        pos = _probes(np.asarray(keys, dtype=np.int64), self.nbits, self.nhashes)
+        flat = pos.reshape(-1)
+        np.bitwise_or.at(self.bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _probes(np.asarray(keys, dtype=np.int64), self.nbits, self.nhashes)
+        bitset = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return bitset.all(axis=1).astype(bool)
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, nbits: int, nhashes: int, blob: bytes) -> "Bloom":
+        return cls(nbits, nhashes, np.frombuffer(blob, dtype=np.uint8).copy())
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        assert (self.nbits, self.nhashes) == (other.nbits, other.nhashes)
+        return Bloom(self.nbits, self.nhashes, self.bits | other.bits)
+
+
+# ------------------------------------------------------------------ cuckoo
+
+class Cuckoo:
+    """Cuckoo filter shard: 4-slot buckets, 16-bit fingerprints —
+    compact exact-ish membership WITH DELETE (blooms can't delete;
+    the frontier needs deletion when a url is re-queued after an
+    error retry). numpy bucket table, vectorized lookup; insert is
+    amortized-python over collisions only.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int, table: np.ndarray | None = None):
+        self.n_buckets = n_buckets  # power of two
+        self.table = table if table is not None else np.zeros(
+            (n_buckets, self.SLOTS), dtype=np.uint16
+        )
+
+    @classmethod
+    def sized(cls, capacity: int) -> "Cuckoo":
+        n = 1
+        while n * cls.SLOTS * 0.95 < capacity:
+            n <<= 1
+        return cls(n)
+
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        fp = ((keys.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 = empty slot sentinel
+        return fp
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (keys.astype(np.uint64) % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: i2 = i1 xor hash(fp)
+        h = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFF)
+        return (i1.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)
+
+    def insert(self, keys: np.ndarray) -> int:
+        """Insert; returns number that failed (table full)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fps = self._fp(keys)
+        i1s = self._i1(keys)
+        failed = 0
+        rng_state = 0x9E3779B9
+        for fp, i1 in zip(fps, i1s):
+            i2 = int(self._i2(np.array([i1]), np.array([fp]))[0])
+            placed = False
+            for b in (int(i1), i2):
+                row = self.table[b]
+                empty = np.flatnonzero(row == 0)
+                if len(empty):
+                    self.table[b, empty[0]] = fp
+                    placed = True
+                    break
+            if placed:
+                continue
+            # kick loop
+            b, f = int(i1), int(fp)
+            for _ in range(self.MAX_KICKS):
+                rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+                slot = rng_state % self.SLOTS
+                f, self.table[b, slot] = int(self.table[b, slot]), f
+                b = int(self._i2(np.array([b]), np.array([np.uint16(f)]))[0])
+                row = self.table[b]
+                empty = np.flatnonzero(row == 0)
+                if len(empty):
+                    self.table[b, empty[0]] = f
+                    f = 0
+                    break
+            if f != 0:
+                failed += 1
+        return failed
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.int64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp).astype(np.int64)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        """Best-effort delete; returns mask of keys actually removed."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp).astype(np.int64)
+        removed = np.zeros(len(keys), dtype=bool)
+        for j in range(len(keys)):
+            for b in (int(i1[j]), int(i2[j])):
+                row = self.table[b]
+                hit = np.flatnonzero(row == fp[j])
+                if len(hit):
+                    self.table[b, hit[0]] = 0
+                    removed[j] = True
+                    break
+        return removed
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, n_buckets: int, blob: bytes) -> "Cuckoo":
+        t = np.frombuffer(blob, dtype=np.uint16).copy().reshape(n_buckets, cls.SLOTS)
+        return cls(n_buckets, t)
+
+
+# ------------------------------------------------------------ Spark surface
+
+class SeenFilter:
+    """Sharded seen-set over a Catalog ``seen`` table.
+
+    build/update: groupBy(shard).applyInPandas — each task folds its
+    shard's new keys into the shard blob (or creates it). No driver
+    bottleneck; shard count scales with cluster size.
+
+    prefilter: mapInPandas over the candidate stream with the shard
+    blobs broadcast (practical up to ~100s of MB; beyond that switch
+    to a shard-join — same table layout, cogroup on shard).
+    """
+
+    def __init__(self, cat, n_shards: int = 16, capacity_per_shard: int = 1_000_000,
+                 fp_rate: float = 0.01, kind: str = "bloom"):
+        from pompspark import schemas
+
+        self.cat = cat
+        self.n_shards = n_shards
+        self.capacity = capacity_per_shard
+        self.fp_rate = fp_rate
+        self.kind = kind
+        cat.create("seen", schemas.SEEN)
+
+    # -------------------------------------------------------------- update
+    def add(self, df, hash_col: str = "url_hash") -> None:
+        """Fold new keys into the shard blobs (one applyInPandas pass),
+        then overwrite the seen table with the merged shards."""
+        from pyspark.sql import functions as F
+
+        spark = self.cat.spark
+        existing = {r.shard: r for r in self.cat.read("seen").collect()}
+        nbits, k = bloom_params(self.capacity, self.fp_rate)
+        n_shards, capacity, kind = self.n_shards, self.capacity, self.kind
+        bexisting = spark.sparkContext.broadcast(
+            {s: bytes(r.filter) for s, r in existing.items()}
+        )
+
+        keyed = df.select(
+            F.col(hash_col).alias("key"),
+            F.pmod(F.col(hash_col), F.lit(self.n_shards)).cast("int").alias("shard"),
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            keys = pdf["key"].to_numpy(dtype=np.int64)
+            blob = bexisting.value.get(shard)
+            if kind == "bloom":
+                f = Bloom.from_bytes(nbits, k, blob) if blob else Bloom(nbits, k)
+                f.add(keys)
+                payload, nb, nh = f.to_bytes(), nbits, k
+            else:
+                c = Cuckoo.sized(capacity)
+                if blob:
+                    c = Cuckoo.from_bytes(c.n_buckets, blob)
+                c.insert(keys)
+                payload, nb, nh = c.to_bytes(), c.n_buckets * Cuckoo.SLOTS * 16, 2
+            return pd.DataFrame({
+                "shard": [shard], "kind": [kind], "nbits": [nb],
+                "nhashes": [nh], "filter": [payload],
+            })
+
+        from pompspark import schemas
+
+        updated = keyed.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN)
+        updated = updated.persist()
+        updated.count()  # materialize the fold once
+        untouched = self.cat.read("seen").join(
+            updated.select("shard"), "shard", "left_anti"
+        )
+        self.cat.overwrite("seen", updated.unionByName(untouched))
+        updated.unpersist()
+
+    # ------------------------------------------------------------ prefilter
+    def maybe_seen_col(self, df, hash_col: str = "url_hash"):
+        """Adds ``maybe_seen`` boolean via broadcast shard blobs. False
+        = DEFINITELY new (bloom has no false negatives) -> the caller
+        may skip the exact anti-join for those rows."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        rows = self.cat.read("seen").collect()
+        blobs = {r.shard: (r.kind, int(r.nbits), int(r.nhashes), bytes(r.filter))
+                 for r in rows}
+        if not blobs:
+            return df.withColumn("maybe_seen", F.lit(False))
+        b = self.cat.spark.sparkContext.broadcast(blobs)
+        n_shards, capacity = self.n_shards, self.capacity
+
+        @F.pandas_udf(T.BooleanType())
+        def member(keys: pd.Series) -> pd.Series:
+            ks = keys.to_numpy(dtype=np.int64)
+            shards = (ks % n_shards + n_shards) % n_shards
+            out = np.zeros(len(ks), dtype=bool)
+            for s in np.unique(shards):
+                ent = b.value.get(int(s))
+                mask = shards == s
+                if ent is None:
+                    continue
+                kind, nb, nh, blob = ent
+                if kind == "bloom":
+                    f = Bloom.from_bytes(nb, nh, blob)
+                else:
+                    f = Cuckoo.from_bytes(nb // (Cuckoo.SLOTS * 16), blob)
+                out[mask] = f.contains(ks[mask])
+            return pd.Series(out, index=keys.index)
+
+        return df.withColumn("maybe_seen", member(F.col(hash_col)))

@@ -1,0 +1,169 @@
+"""Snapshot catalog: Iceberg-shaped table API over parquet directories.
+
+North rule: "crawl state ... lives in checkpointed Iceberg tables so
+the crawl resumes exactly". The sandbox has no Iceberg runtime jar
+(and no network to fetch one), so this module implements the same
+contract — append-only data files, snapshot manifests, atomic commit,
+time travel, rollback — on plain parquet:
+
+    <root>/<table>/
+        data/d-00000001/part-*.parquet     (immutable once committed)
+        snapshots/s-00000001.json          {"version", "dirs", "schema", "op"}
+        _latest                            text file; os.replace() = atomic commit
+
+On a real cluster, launch with
+``--packages org.apache.iceberg:iceberg-spark-runtime-...`` and swap
+``Catalog`` for ``IcebergCatalog`` (same method surface, table-format
+writes via ``df.writeTo(...)``) — the engine only talks to this API.
+
+pomp analog: pomp keeps all state in process memory (the queue inside
+``Pomp``/``SimpleQueue``, pomp/core/engine.py) and loses it on crash;
+the north rule replaces that with durable snapshots.
+
+Scale note: an append writes ONLY the new data files plus one tiny
+manifest — never rewrites history (O(new data), like Iceberg). Reads
+prune via parquet footers; partition columns in the data keep
+predicate pushdown effective (frontier data dirs are written
+partitioned by ``state`` so dequeues scan only ``state=queued`` files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _latest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_latest")
+
+    def _snap_path(self, table: str, version: int) -> str:
+        return os.path.join(self._tdir(table), "snapshots", f"s-{version:08d}.json")
+
+    # ------------------------------------------------------------ snapshots
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._latest_path(table))
+
+    def current_version(self, table: str) -> int:
+        with open(self._latest_path(table)) as f:
+            return int(f.read().strip())
+
+    def _read_snapshot(self, table: str, version: int) -> dict[str, Any]:
+        with open(self._snap_path(table, version)) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, snap: dict[str, Any]) -> int:
+        """Write the manifest, then atomically flip _latest. A crash
+        before the flip leaves the previous snapshot current (data dirs
+        without a manifest pointer are simply unreferenced)."""
+        tdir = self._tdir(table)
+        os.makedirs(os.path.join(tdir, "snapshots"), exist_ok=True)
+        v = snap["version"]
+        with open(self._snap_path(table, v), "w") as f:
+            json.dump(snap, f)
+        tmp = self._latest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._latest_path(table))
+        return v
+
+    # ------------------------------------------------------------ ops
+    def create(self, table: str, schema: T.StructType) -> None:
+        if self.exists(table):
+            return
+        self._commit(table, {
+            "version": 1, "dirs": [], "op": "create", "schema": schema.json(),
+        })
+
+    def _write_data_dir(self, table: str, df: DataFrame, version: int,
+                        partition_by: list[str] | None = None) -> str:
+        rel = f"data/d-{version:08d}"
+        path = os.path.join(self._tdir(table), rel)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return rel
+
+    def append(self, table: str, df: DataFrame,
+               partition_by: list[str] | None = None) -> int:
+        prev_v = self.current_version(table)
+        prev = self._read_snapshot(table, prev_v)
+        v = prev_v + 1
+        rel = self._write_data_dir(table, df, v, partition_by)
+        return self._commit(table, {
+            "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
+            "schema": prev["schema"], "partition_by": partition_by,
+        })
+
+    def overwrite(self, table: str, df: DataFrame,
+                  partition_by: list[str] | None = None) -> int:
+        prev_v = self.current_version(table)
+        prev = self._read_snapshot(table, prev_v)
+        v = prev_v + 1
+        rel = self._write_data_dir(table, df, v, partition_by)
+        return self._commit(table, {
+            "version": v, "dirs": [rel], "op": "overwrite",
+            "schema": prev["schema"], "partition_by": partition_by,
+        })
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version(table)
+        snap = self._read_snapshot(table, v)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        dirs = [os.path.join(self._tdir(table), d) for d in snap["dirs"]]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        cols = schema.fieldNames()
+        if len(dirs) == 1:
+            return self.spark.read.schema(schema).parquet(dirs[0]).select(*cols)
+        # Sibling snapshot dirs may each carry hive-style partition
+        # subdirs (state=...); partition discovery needs one basePath
+        # per dir, so read per-dir and union (file count stays bounded
+        # by compaction).
+        out = None
+        for d in dirs:
+            part = (
+                self.spark.read.schema(schema)
+                .option("basePath", d)
+                .parquet(d)
+                .select(*cols)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def rollback(self, table: str, version: int) -> None:
+        """Flip _latest back to an older snapshot (exact-resume path).
+        Later data dirs stay on disk but are unreferenced."""
+        if not os.path.exists(self._snap_path(table, version)):
+            raise ValueError(f"{table}: no snapshot v{version}")
+        tmp = self._latest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._latest_path(table))
+
+    def snapshot_ids(self, tables: list[str]) -> dict[str, int]:
+        return {t: self.current_version(t) for t in tables if self.exists(t)}
+
+    def compact(self, table: str, partition_by: list[str] | None = None) -> int:
+        """Rewrite the current snapshot into one data dir. The frontier
+        accretes one dir per round; compacting every K rounds keeps the
+        file count O(1) instead of O(rounds) — the Iceberg
+        rewrite_data_files equivalent."""
+        df = self.read(table)
+        return self.overwrite(table, df, partition_by)

@@ -1,0 +1,88 @@
+"""robots.txt parsing, enforcement expressions, politeness scheduler."""
+
+from __future__ import annotations
+
+from pompspark.robots import parse_robots
+
+
+def test_parse_robots_basic():
+    txt = """
+# comment
+User-agent: *
+Disallow: /private
+Disallow: /tmp
+Crawl-delay: 2.5
+"""
+    delay, dis = parse_robots(txt)
+    assert delay == 2.5
+    assert dis == ["/private", "/tmp"]
+
+
+def test_parse_robots_agent_groups():
+    txt = """User-agent: googlebot
+Disallow: /g-only
+
+User-agent: *
+Disallow: /all
+"""
+    _, dis = parse_robots(txt, agent="pompspark")
+    assert dis == ["/all"]
+    _, dis_g = parse_robots(txt, agent="googlebot")
+    assert dis_g == ["/g-only"]
+
+
+def test_parse_robots_empty_disallow_and_garbage():
+    assert parse_robots("User-agent: *\nDisallow:\n") == (None, [])
+    assert parse_robots(None) == (None, [])
+    assert parse_robots("random noise\n::::\n") == (None, [])
+    assert parse_robots("User-agent: *\nCrawl-delay: fast\n") == (None, [])
+
+
+def test_build_robots_cache_udf(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from pompspark.robots import build_robots_cache
+
+    df = spark.createDataFrame(pd.DataFrame([
+        {"host": "a.example", "robots_txt": "User-agent: *\nDisallow: /p3\n",
+         "fetched_ts": dt.datetime(2026, 1, 1)},
+        {"host": "b.example", "robots_txt": "User-agent: *\nCrawl-delay: 1\n",
+         "fetched_ts": dt.datetime(2026, 1, 1)},
+    ]))
+    out = {r.host: r for r in build_robots_cache(df).collect()}
+    assert list(out["a.example"].disallow) == ["/p3"]
+    assert out["b.example"].crawl_delay == 1.0
+
+
+def test_with_robots_enforcement(spark):
+    from pompspark.fixtures import small_robots_df
+    from pompspark.robots import with_robots
+
+    df = spark.createDataFrame(
+        [("http://a.example/p3", "a.example"),
+         ("http://a.example/p1", "a.example"),
+         ("http://c.example/p0", "c.example")],
+        ["url", "host"],
+    )
+    rows = {r.url: r for r in with_robots(df, small_robots_df(spark)).collect()}
+    assert rows["http://a.example/p3"].disallowed is True
+    assert rows["http://a.example/p1"].disallowed is False
+    assert rows["http://c.example/p0"].disallowed is False  # no robots row
+
+
+def test_schedule_slots(spark):
+    import pandas as pd
+
+    from pompspark.politeness import schedule_slots
+
+    batch = spark.createDataFrame(pd.DataFrame([
+        {"url": "http://b.example/p0", "host": "b.example", "fetch_rank": 0, "crawl_delay": 1.5},
+        {"url": "http://b.example/p1", "host": "b.example", "fetch_rank": 2, "crawl_delay": 1.5},
+        {"url": "http://a.example/p0", "host": "a.example", "fetch_rank": 1, "crawl_delay": None},
+    ]))
+    out = {r.url: r.slot_s for r in schedule_slots(batch).collect()}
+    assert out["http://b.example/p0"] == 0.0
+    assert out["http://b.example/p1"] == 1.5  # spaced by crawl_delay
+    assert out["http://a.example/p0"] == 0.0  # no delay -> immediate

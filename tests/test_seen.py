@@ -1,0 +1,86 @@
+"""Property tests for the seen-set filters (SURVEY §5.2.3): bloom —
+zero false negatives, FP ≤ 2x design rate on 1e5 random keys; cuckoo —
+insert/lookup/delete round-trip; SeenFilter — prefilter exactness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pompspark.seen import Bloom, Cuckoo, SeenFilter, bloom_params
+from pompspark.tables import Catalog
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    rng = np.random.default_rng(42)
+    inserted = rng.integers(-(2**62), 2**62, size=100_000, dtype=np.int64)
+    probes = rng.integers(-(2**62), 2**62, size=100_000, dtype=np.int64)
+    probes = np.setdiff1d(probes, inserted)
+    b = Bloom.sized(capacity=100_000, fp_rate=0.01)
+    b.add(inserted)
+    assert b.contains(inserted).all()  # zero false negatives
+    fp = b.contains(probes).mean()
+    assert fp <= 0.02, f"FP rate {fp:.4f} > 2x design rate"
+
+
+def test_bloom_roundtrip_and_merge():
+    a = Bloom.sized(1000)
+    b = Bloom(a.nbits, a.nhashes)
+    ka = np.arange(100, dtype=np.int64)
+    kb = np.arange(100, 200, dtype=np.int64)
+    a.add(ka)
+    b.add(kb)
+    m = a.merge(b)
+    assert m.contains(ka).all() and m.contains(kb).all()
+    r = Bloom.from_bytes(a.nbits, a.nhashes, m.to_bytes())
+    assert r.contains(ka).all() and r.contains(kb).all()
+
+
+def test_bloom_params_monotone():
+    n1, _ = bloom_params(10_000, 0.01)
+    n2, _ = bloom_params(10_000, 0.001)
+    assert n2 > n1
+    assert n1 % 8 == 0
+
+
+def test_cuckoo_roundtrip():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+    keys = np.unique(keys)
+    c = Cuckoo.sized(len(keys))
+    assert c.insert(keys) == 0  # sized -> no failures
+    assert c.contains(keys).all()
+    # delete half; deleted gone (mod fp-collision aliasing), rest stay
+    half = keys[: len(keys) // 2]
+    removed = c.delete(half)
+    assert removed.all()
+    assert c.contains(keys[len(keys) // 2:]).all()
+    resurrect = c.contains(half).mean()
+    assert resurrect < 0.05  # only fp-aliasing survivors
+
+
+def test_cuckoo_serialization():
+    c = Cuckoo.sized(1000)
+    keys = np.arange(500, dtype=np.int64) * 7919
+    c.insert(keys)
+    c2 = Cuckoo.from_bytes(c.n_buckets, c.to_bytes())
+    assert c2.contains(keys).all()
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_seen_filter_spark(spark, tmp_path, kind):
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=10_000, kind=kind)
+    df1 = spark.range(0, 5_000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    df2 = spark.range(5_000, 10_000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    sf.add(df1)
+    seen_flags = sf.maybe_seen_col(df1).select("maybe_seen").collect()
+    assert all(r.maybe_seen for r in seen_flags)  # no false negatives
+    new_flags = sf.maybe_seen_col(df2).select("maybe_seen").collect()
+    fp = sum(r.maybe_seen for r in new_flags) / len(new_flags)
+    assert fp <= 0.05, f"prefilter FP {fp:.3f} too high"
+    # incremental add folds into existing shards
+    sf.add(df2)
+    flags = sf.maybe_seen_col(df2).select("maybe_seen").collect()
+    assert all(r.maybe_seen for r in flags)
+    assert cat.read("seen").count() == 4  # one row per shard

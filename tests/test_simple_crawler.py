@@ -1,0 +1,118 @@
+"""Trace-equivalence: the Spark engine must reproduce the oracle
+simulator's visited set AND order — the analog of pomp's
+tests/test_simple_crawler.py (DummyCrawler over a sitemap dict,
+asserting visited urls + collected items) — for BFS and DFS modes
+across budget combinations (FIXTURES F2 parameter grid)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pompspark.engine import simulated_engine
+from pompspark.fixtures import (
+    SMALL_ROBOTS,
+    SMALL_SEED,
+    SMALL_SITEMAP,
+    small_pages_df,
+    small_robots_df,
+)
+from tests.oracle_sim import OracleCrawl
+
+ROBOTS = {h: {"crawl_delay": d, "disallow": dis} for h, _txt, d, dis in SMALL_ROBOTS}
+
+
+def spark_trace(spark, tmp_path, ordering, per_round, per_host, robots=False,
+                seeds=None, compact_every=2):
+    eng = simulated_engine(
+        spark,
+        str(tmp_path / f"crawl-{ordering}-{per_round}-{per_host}-{robots}"),
+        small_pages_df(spark),
+        robots_df=small_robots_df(spark) if robots else None,
+        ordering=ordering,
+        per_round_budget=per_round,
+        per_host_budget=per_host,
+        compact_every=compact_every,
+    )
+    eng.seed(seeds or [SMALL_SEED])
+    eng.run(max_rounds=100)
+    rows = eng.trace().collect()
+    return [
+        (r.round, int(r.seq) & ((1 << 20) - 1), r.url, r.depth, r.host)
+        for r in rows
+    ], eng
+
+
+def oracle_trace(ordering, per_round, per_host, robots=False, seeds=None):
+    sim = OracleCrawl(
+        sitemap=SMALL_SITEMAP,
+        ordering=ordering,
+        per_round_budget=per_round,
+        per_host_budget=per_host,
+        robots=ROBOTS if robots else None,
+    )
+    sim.seed(seeds or [SMALL_SEED])
+    sim.run()
+    return sim.trace_tuples(), sim
+
+
+GRID = [
+    ("bfs", 3, 2), ("bfs", 1, 1), ("bfs", 5, 2),
+    ("dfs", 3, 2), ("dfs", 1, 1), ("dfs", 5, 2),
+]
+
+
+@pytest.mark.parametrize("ordering,per_round,per_host", GRID)
+def test_trace_equivalence(spark, tmp_path, ordering, per_round, per_host):
+    got, eng = spark_trace(spark, tmp_path, ordering, per_round, per_host)
+    want, sim = oracle_trace(ordering, per_round, per_host)
+    assert got == want
+    # full crawl visits the whole reachable sitemap exactly once
+    urls = [t[2] for t in got]
+    assert sorted(urls) == sorted(set(urls))
+    assert set(urls) == set(SMALL_SITEMAP)  # all reachable from seed here
+
+
+@pytest.mark.parametrize("ordering", ["bfs", "dfs"])
+def test_trace_equivalence_with_robots(spark, tmp_path, ordering):
+    got, eng = spark_trace(spark, tmp_path, ordering, 3, 2, robots=True)
+    want, sim = oracle_trace(ordering, 3, 2, robots=True)
+    assert got == want
+    urls = {t[2] for t in got}
+    assert "http://a.example/p3" not in urls  # robots disallow /p3
+    # b.example crawl_delay=1.0 + round_seconds=1.0 -> ≤1 b-fetch per round
+    per_round_b = {}
+    for rnd, _rank, url, _d, host in got:
+        if host == "b.example":
+            per_round_b[rnd] = per_round_b.get(rnd, 0) + 1
+    assert all(v <= 1 for v in per_round_b.values())
+
+
+def test_multi_seed_and_404(spark, tmp_path):
+    """Seeds beyond the sitemap 404 but never stop the crawl (pomp
+    error-isolation, SURVEY §2.4.3); duplicate seeds dedup."""
+    seeds = ["http://missing.example/x", SMALL_SEED, SMALL_SEED]
+    got, eng = spark_trace(spark, tmp_path, "bfs", 3, 2, seeds=seeds)
+    want, sim = oracle_trace("bfs", 3, 2, seeds=seeds)
+    assert got == want
+    log = {r.url: r for r in eng.fetch_log().collect()}
+    assert log["http://missing.example/x"].status == 404
+    assert log["http://missing.example/x"].error == "not_found"
+    assert log[SMALL_SEED].status == 200
+
+
+def test_byte_identity_against_pages_text(spark, tmp_path):
+    """Engine-extracted text must equal the pages.text ground truth
+    (which FIXTURES F1 defines as ref_extract output) byte-for-byte."""
+    _got, eng = spark_trace(spark, tmp_path, "bfs", 5, 5)
+    pages = {r.url: r.text for r in small_pages_df(spark).select("url", "text").collect()}
+    for r in eng.fetch_log().filter("status = 200").collect():
+        assert r.text.encode("utf-8") == pages[r.url].encode("utf-8")
+
+
+def test_metrics_and_checkpoint_rows(spark, tmp_path):
+    _got, eng = spark_trace(spark, tmp_path, "bfs", 3, 2)
+    m = eng.metrics().collect()
+    assert sum(r.urls_fetched for r in m) == len(SMALL_SITEMAP)
+    cp = eng.cat.read("checkpoint").collect()
+    assert len(cp) == eng.round + 1  # seed + one per round
+    assert all(set(r.snapshot_ids) == {"frontier", "frontier_state", "fetch_log", "metrics", "trace"} for r in cp)
