@@ -230,6 +230,56 @@ def q_url_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over the webtext corpus
+    (training-data dedup; rows-only check — python-hash-derived)."""
+    from pompspark.textops import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _documents(spark, sf_dir), num_hashes=64, bands=16
+    )
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash exact-signature dedup groups (rows-only check)."""
+    from pompspark.textops import simhash_dedup
+
+    return simhash_dedup(_documents(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 embeddings —
+    JVM-side zip_with/aggregate dot products (rows-only: float order)."""
+    from pompspark.textops import brute_force_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.orderBy("vec_id").limit(10)
+    return brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN variant (the 100 TB scale path; rows-only)."""
+    from pompspark.textops import lsh_bucketed_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.orderBy("vec_id").limit(10)
+    return lsh_bucketed_topk(emb, q, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_quality_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + heuristic language-ID over documents
+    (JVM-side expressions; rows-only — float ratios)."""
+    from pompspark.textops import lang_id, quality_scores, token_count
+
+    d = _documents(spark, sf_dir)
+    return token_count(lang_id(quality_scores(d))).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_stopword_ratio",
+        "lang_pred", "n_est_tokens",
+    )
+
+
 def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full engine loop (O11) on the 12-page fixture sitemap —
     non-SQL-expressible (iterative); rows-only check. Trace equivalence
@@ -275,6 +325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
         "crawl_trace_bfs": q_crawl_trace_bfs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_groups": q_simhash_groups,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "quality_lang_id": q_quality_lang_id,
     }
 
 

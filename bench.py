@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Crawl-engine benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total timed sec>, "unit": "sec",
+   "queries": {<stage>: sec, ...}, "sf": ..., "urls_per_sec": ...}
+
+Protocol (BASELINE.md): synthetic Common-Crawl-style pages derived
+deterministically from $SPARK_GRAFT_SF_DIR documents (seed-42 hash
+graph, zipf hosts, ~30 KB html bodies), 1 warm-up round + >=3 timed
+rounds of the full engine (dequeue -> fetch/extract -> sinks -> merge
+-> checkpoint). Headline = URLs fetched+extracted per second.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES,
+BENCH_BUDGET, BENCH_ROUNDS, BENCH_WORKDIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "600000"))
+    budget = int(os.environ.get("BENCH_BUDGET", "200000"))
+    timed_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    workdir = os.environ.get(
+        "BENCH_WORKDIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+    )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pompspark.benchgen import bench_seed_urls, build_bench_pages
+    from pompspark.engine import simulated_engine
+    from pompspark.session import build_spark
+
+    spark = build_spark(
+        f"local[{cpus}]",
+        app_name="pompspark-bench",
+        shuffle_partitions=cpus,
+        # html-heavy rows: small splits so the pages scan (the fetch's
+        # stream side) fans out to >= cores tasks, not ~14 fat ones.
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
+    )
+
+    timings: dict[str, float] = {}
+
+    # ---------------- untimed setup: generate + persist the web ---------
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.monotonic()
+    pages_path = os.path.join(workdir, "pages")
+    # Many small files: snappy compresses the synthetic bodies ~10x, and
+    # split planning sees COMPRESSED bytes — without enough files the
+    # extract stage (the round's dominant CPU) can't fan out to all
+    # threads. 256 files => >=256 scan tasks at any parallelism level.
+    build_bench_pages(spark, docs, n_pages=n_pages).repartition(256).write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    timings["gen_pages"] = round(time.monotonic() - t0, 3)
+    pages = spark.read.parquet(pages_path)
+
+    seeds = bench_seed_urls(spark, n_pages, n_hosts=1000, n_seeds=int(os.environ.get("BENCH_SEEDS", "10000")))
+    eng = simulated_engine(
+        spark,
+        os.path.join(workdir, "state"),
+        pages,
+        ordering="bfs",
+        per_round_budget=budget,
+        per_host_budget=int(os.environ.get("BENCH_HOST_BUDGET", "5000")),
+        compact_every=0,
+    )
+    t0 = time.monotonic()
+    eng.seed(seeds)
+    timings["seed"] = round(time.monotonic() - t0, 3)
+
+    # ---------------- warm-up -------------------------------------------
+    t0 = time.monotonic()
+    eng.run_round()
+    timings["warmup_round"] = round(time.monotonic() - t0, 3)
+
+    # ---------------- timed rounds --------------------------------------
+    fetched = 0
+    t_start = time.monotonic()
+    for i in range(timed_rounds):
+        r0 = time.monotonic()
+        n = eng.run_round()
+        timings[f"round_{i + 1}"] = round(time.monotonic() - r0, 3)
+        fetched += n
+        if n == 0:
+            break
+    total = time.monotonic() - t_start
+    urls_per_sec = fetched / total if total > 0 else 0.0
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "crawl_fetch_extract_merge_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "urls_fetched": fetched,
+        "urls_per_sec": round(urls_per_sec, 1),
+        "config": {
+            "cpus": cpus, "n_pages": n_pages, "budget": budget,
+            "timed_rounds": timed_rounds,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

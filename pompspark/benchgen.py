@@ -1,0 +1,104 @@
+"""Distributed synthetic-web generation for the bench (FIXTURES F1/F2
+large). Everything is JVM-side column math from deterministic hashes —
+no driver-side page building, no Python rng — so generation itself
+scales to any page count (the 10^10-frontier story starts with not
+building the web on the driver).
+
+Graph shape: ``n_hosts`` hosts with zipf-ish skew (host 0 owns ~15% of
+urls via an inverse-power transform of a uniform hash), fixed
+``outdegree``, child edges chosen by xxhash64 over the url universe.
+Bodies cycle the sf documents' webtext, repeated ``body_repeat``x to
+Common-Crawl-ish page sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SKEW_EXP = 3.5  # host 0 gets (1/n_hosts)^(1/SKEW_EXP) of urls (~14% at 1000)
+
+
+def _host_id(idx_col, n_hosts: int):
+    """Deterministic zipf-ish host assignment: u = hash(idx)/2^20 in
+    [0,1); host = floor(n_hosts * u^SKEW_EXP) — heavy head, long tail."""
+    u = (F.pmod(F.xxhash64(idx_col), F.lit(1 << 20))).cast("double") / F.lit(
+        float(1 << 20)
+    )
+    return F.least(
+        F.lit(n_hosts - 1),
+        F.floor(F.lit(float(n_hosts)) * F.pow(u, F.lit(float(SKEW_EXP)))).cast("int"),
+    )
+
+
+def _url_of(idx_col, n_hosts: int):
+    return F.concat(
+        F.lit("http://h"),
+        F.lpad(_host_id(idx_col, n_hosts).cast("string"), 4, "0"),
+        F.lit(".example/p"),
+        idx_col.cast("string"),
+    )
+
+
+def build_bench_pages(
+    spark: SparkSession,
+    documents: DataFrame,
+    n_pages: int,
+    n_hosts: int = 1000,
+    outdegree: int = 20,
+    body_repeat: int = 100,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) — BASELINE.json shape.
+    ``text`` is filled by the pinned extractor (F1 contract) via the
+    same vectorized UDF the engine uses."""
+    from pompspark.extract import register_extract_udf
+
+    n_docs = documents.count()
+    docs = documents.select(
+        F.col("doc_id").alias("__doc_id"), F.col("text").alias("__body"), "lang"
+    )
+    idx = spark.range(n_pages).select(F.col("id").alias("i"))
+    base = idx.withColumn("__doc_id", (F.col("i") % n_docs).cast("long"))
+    # broadcast docs (5e3 rows) onto the page universe
+    base = base.join(F.broadcast(docs), "__doc_id", "left")
+
+    child_idx = lambda j: F.pmod(  # noqa: E731
+        F.xxhash64(F.col("i") * outdegree + F.lit(j) + F.lit(7919)), F.lit(n_pages)
+    )
+    anchors = F.concat(
+        *[
+            F.concat(
+                F.lit('<a href="'), _url_of(child_idx(j), n_hosts), F.lit('">L</a>')
+            )
+            for j in range(outdegree)
+        ]
+    )
+    url = _url_of(F.col("i"), n_hosts)
+    title = F.concat(
+        F.lit("h"), F.lpad(_host_id(F.col("i"), n_hosts).cast("string"), 4, "0"),
+        F.lit(".example/p"), F.col("i").cast("string"),
+    )
+    html_str = F.concat(
+        F.lit("<html><head><title>"), title, F.lit("</title></head><body>"),
+        F.repeat(F.coalesce(F.col("__body"), F.lit("")), body_repeat),
+        anchors, F.lit("</body></html>"),
+    )
+    ext = register_extract_udf()
+    return (
+        base.withColumn("html", F.encode(html_str, "UTF-8"))
+        .withColumn(
+            "warc_ts",
+            (F.lit(1767225600) + F.col("i")).cast("timestamp"),  # 2026-01-01 + i s
+        )
+        .withColumn("text", ext("html").getField("text"))
+        .select(url.alias("url"), "warc_ts", "html", "text", "lang")
+    )
+
+
+def bench_seed_urls(spark: SparkSession, n_pages: int, n_hosts: int,
+                    n_seeds: int) -> list[str]:
+    """Deterministic seed urls: every (n_pages // n_seeds)-th index,
+    urls computed by the same Spark expressions as the generator."""
+    step = max(1, n_pages // n_seeds)
+    idx = spark.range(0, n_pages, step).select(F.col("id").alias("i"))
+    return [r.url for r in idx.select(_url_of(F.col("i"), n_hosts).alias("url")).collect()]

@@ -124,15 +124,41 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
     return urlunsplit((scheme, netloc, path, query, ""))
 
 
+# Fast path: a url matching this is PROVABLY a canonicalize() fixed
+# point — lowercase http(s) scheme, lowercase reg-name host with no
+# port/userinfo, absolute path of unreserved chars (no '.', so no dot
+# segments; no '%', so no pct-normalization; no '?'/'#'). For such u,
+# canonicalize(u) == u, so the slow urllib path can be skipped. The
+# idempotence property test fuzzes this equivalence.
+_CANONICAL_RE = re.compile(
+    r"^https?://[a-z0-9-]+(?:\.[a-z0-9-]+)+/[a-z0-9/_\-~]*$"
+)
+
+
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
-    """Vectorized (Arrow-batch) canonicalization for pandas UDFs."""
+    """Vectorized (Arrow-batch) canonicalization for pandas UDFs.
+    Already-canonical urls (the overwhelming majority of crawl links
+    after the first normalization) take a vectorized regex fast path;
+    only the remainder pays the per-string urllib cost."""
+    fast = urls.str.match(_CANONICAL_RE, na=False)
     if bases is None:
-        return urls.map(lambda u: canonicalize(u) if u is not None else None)
-    return pd.Series(
-        [canonicalize(u, b) if u is not None else None for u, b in zip(urls, bases)],
-        index=urls.index,
-        dtype="object",
-    )
+        out = urls.where(fast, None)
+        slow_idx = urls.index[~fast]
+        if len(slow_idx):
+            out.loc[slow_idx] = [
+                canonicalize(u) if u is not None else None
+                for u in urls.loc[slow_idx]
+            ]
+        return out
+    # relative resolution never applies to absolute canonical urls
+    out = urls.where(fast, None)
+    slow_idx = urls.index[~fast]
+    if len(slow_idx):
+        out.loc[slow_idx] = [
+            canonicalize(u, b) if u is not None else None
+            for u, b in zip(urls.loc[slow_idx], bases.loc[slow_idx])
+        ]
+    return out
 
 
 def host_of(url: str | None) -> str | None:

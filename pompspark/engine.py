@@ -155,8 +155,17 @@ class CrawlEngine:
         Returns the number of urls fetched (0 = frontier exhausted)."""
         r = self.round + 1
         t0 = time.monotonic()
+        timings: dict[str, float] = {}
+        _last = [t0]
 
-        batch = dequeue(
+        def lap(stage: str) -> None:
+            now = time.monotonic()
+            timings[stage] = round(now - _last[0], 3)
+            _last[0] = now
+
+        self.last_round_timings = timings
+
+        raw = dequeue(
             self.store.queued(),
             self.robots_df,
             ordering=self.ordering,
@@ -164,55 +173,118 @@ class CrawlEngine:
             per_host_budget=self.per_host_budget,
             round_seconds=self.round_seconds,
         )
+        raw = raw.persist()
+        n_dequeued = raw.count()
+        lap("dequeue")
+        if n_dequeued == 0:
+            raw.unpersist()
+            return 0
+
+        batch = raw
         for mw in self.request_middlewares:  # pomp process_request order
             batch = mw(batch)
+        if self.request_middlewares:
+            # pomp drop semantics: a request dropped by middleware
+            # (process_request -> None) is consumed, not re-queued —
+            # mark it so the next dequeue never sees it again.
+            kept = batch.select("url_hash", F.col("url").alias("__k_url"))
+            dropped = raw.join(
+                kept,
+                (raw["url_hash"] == kept["url_hash"])
+                & (raw["url"] == kept["__k_url"]),
+                "left_anti",
+            )
+            self.store.mark(dropped, F.lit("dropped"), r)
         batch = batch.persist()
         n_batch = batch.count()
         if n_batch == 0:
+            # everything dropped: the queue still advanced — record the
+            # round and keep pumping (pomp keeps looping on a nonempty
+            # queue even when middlewares drop a whole batch).
             batch.unpersist()
-            return 0
+            raw.unpersist()
+            self.round = r
+            self._checkpoint(budget_left=0)
+            return n_dequeued
 
         fetched = self.fetcher.fetch(batch)
         for mw in reversed(self.response_middlewares):  # pomp reverse order
             fetched = mw(fetched)
-        fetched = fetched.persist()
-        fetched.count()  # materialize once; downstream reads the cache
+
+        # ONE materialization per round: the fetch/extract output is
+        # written exactly once — as the fetch_log data files, with the
+        # engine's working columns (links, rank, ...) alongside the
+        # declared FETCH_LOG columns (reads prune to the schema). Every
+        # later stage re-reads the files column-pruned: the trace reads
+        # no text, the link merge reads only links+rank, metrics only
+        # counters. No multi-GB round cache, no recomputed extract.
+        round_out = fetched.select(
+            "url", F.lit(r).alias("round"), "status", "warc_ts", "text",
+            F.size("links").alias("n_links"), "error",
+            # working columns (pruned away by fetch_log reads). seq and
+            # state are precomputed so the trace and frontier_state
+            # tables can ALIAS these files zero-copy (append_dir):
+            "url_hash", "host", "depth", "fetch_rank", "links", "n_bytes",
+            (F.lit(r).cast("long") * F.lit(1 << 20) + F.col("fetch_rank")).alias("seq"),
+            F.when(F.col("status") == 200, F.lit("fetched"))
+            .otherwise(F.lit("error")).alias("state"),
+        )
+        if self.pipelines:
+            # pipelines may transform/filter ITEMS only — the crawl
+            # (trace/state/links) must see the unfiltered batch, so
+            # write the round output to scratch first, then run the
+            # pipeline chain into fetch_log (pomp: pipe.process(None)
+            # stops an item, never the crawl).
+            import os as _os
+
+            scratch = _os.path.join(self.cat.root, "_rounds", f"r{r:06d}")
+            round_out.write.mode("overwrite").parquet(scratch)
+            round_df = self.spark.read.parquet(scratch)
+            round_files = scratch
+            items = round_df
+            for pipe in self.pipelines:
+                items = pipe(items)
+            self.cat.append(
+                "fetch_log",
+                items.select(
+                    "url", "round", "status", "warc_ts", "text", "n_links", "error",
+                ),
+            )
+        else:
+            _v, data_dir = self.cat.append_with(
+                "fetch_log",
+                lambda p: round_out.write.parquet(p),
+            )
+            round_df = self.spark.read.parquet(data_dir)
+            round_files = data_dir
+        lap("fetch_extract_log")
         batch.unpersist()
+        raw.unpersist()
 
-        # items -> pipelines -> fetch_log (pomp BasePipeline.process chain)
-        items = fetched
-        for pipe in self.pipelines:
-            items = pipe(items)
-        self.cat.append(
-            "fetch_log",
-            items.select(
-                "url", F.lit(r).alias("round"), "status", "warc_ts", "text",
-                F.size("links").alias("n_links"), "error",
-            ),
-            partition_by=None,
-        )
-
-        # trace: seq encodes (round, rank) -> global fetch order
-        self.cat.append(
-            "trace",
-            fetched.select(
-                (F.lit(r).cast("long") * F.lit(1 << 20)
-                 + F.col("fetch_rank")).alias("seq"),
-                F.lit(r).alias("round"), "url", "depth", "host",
-            ),
-        )
-
-        # frontier state transitions
-        self.store.mark(
-            fetched,
-            F.when(F.col("status") == 200, F.lit("fetched")).otherwise(F.lit("error")),
-            r,
-        )
+        if self.pipelines:
+            # pipeline path: trace/state written explicitly from the
+            # scratch round files (pipelines must not affect the crawl)
+            self.cat.append(
+                "trace",
+                round_df.select("seq", "round", "url", "depth", "host"),
+            )
+            lap("trace_append")
+            self.cat.append(
+                "frontier_state",
+                round_df.select("url_hash", "url", "state", "round"),
+            )
+            lap("mark_state")
+        else:
+            # zero-copy: trace and frontier_state alias the round files
+            # (column-pruned reads); no extra write jobs per round.
+            self.cat.append_dir("trace", round_files)
+            self.cat.append_dir("frontier_state", round_files)
+            lap("trace_state_alias")
 
         # discoveries -> canonicalize -> dedup -> anti-join -> merge (O9/O2)
         _, canon_base_udf, host_udf = register_udfs()
         disc = (
-            fetched.filter(F.col("status") == 200)
+            round_df.filter(F.col("status") == 200)
             .select("url", "depth", "fetch_rank", F.posexplode("links").alias("pos", "href"))
             .withColumn("child", canon_base_udf("href", "url"))
             .filter(F.col("child").isNotNull())
@@ -230,6 +302,7 @@ class CrawlEngine:
         )
         new_rows = new_rows.persist()
         n_new = new_rows.count()
+        lap("links_merge")
         if n_new:
             self.store.append(new_rows)
             if self.seen_filter is not None:
@@ -238,9 +311,9 @@ class CrawlEngine:
         # metrics: per-partition lineage rows ([A] north rule)
         self.cat.append(
             "metrics",
-            fetched.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            round_df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
                 F.count("*").alias("urls_fetched"),
-                F.sum(F.when(F.col("status") == 200, F.octet_length("html")).otherwise(0)).alias("bytes"),
+                F.sum(F.when(F.col("status") == 200, F.col("n_bytes")).otherwise(0)).alias("bytes"),
             ).select(
                 F.lit(r).alias("round"), "partition_id",
                 F.col("urls_fetched").cast("long"),
@@ -249,16 +322,18 @@ class CrawlEngine:
                 F.lit(int((time.monotonic() - t0) * 1000)).cast("long").alias("wall_ms"),
             ),
         )
+        lap("append_metrics")
 
         new_rows.unpersist()
-        fetched.unpersist()
 
         self.round = r
         self.urls_fetched_total += n_batch
         self._checkpoint(budget_left=0)
+        lap("checkpoint")
         if self.compact_every and r % self.compact_every == 0:
             self.store.compact()
-        return n_batch
+            lap("compact")
+        return n_dequeued
 
     # ------------------------------------------------------------ outputs
     def trace(self) -> DataFrame:

@@ -48,32 +48,45 @@ class SimulatedFetcher:
     def fetch(self, batch: DataFrame) -> DataFrame:
         # A single outer join can't broadcast the preserved (batch)
         # side — Spark would shuffle the whole pages table. Instead:
-        # inner BHJ (build = broadcast batch, stream = one pages scan)
-        # for the hits, then a tiny anti-join for the 404 misses.
+        # - hits: inner BHJ (build = broadcast batch) over ONE full
+        #   pages scan, extract fused into the same stage;
+        # - misses: found-urls = semi-join over a URL-COLUMN-ONLY pages
+        #   scan (parquet pruning makes this ~the url column's bytes),
+        #   then a broadcast anti-join of the small batch against it.
+        # No caching here: the engine materializes the result exactly
+        # once (the round write) and reads it back column-pruned.
+        # The returned frame drops ``html`` (the raw body stays in
+        # pages; nothing downstream needs it).
         pages = self.pages.select(
             F.col("url").alias("__p_url"), "warc_ts", "html"
         )
-        hits = pages.join(
+        hits_raw = pages.join(
             F.broadcast(batch), F.col("__p_url") == batch["url"], "inner"
         ).drop("__p_url")
+
         ext = register_extract_udf()
         hits = (
-            hits.withColumn("e", ext("html"))
+            hits_raw.withColumn("e", ext("html"))
             .withColumn("status", F.lit(200))
+            .withColumn("n_bytes", F.octet_length("html").cast("long"))
             .withColumn("text", F.col("e.text"))
             .withColumn("links", F.col("e.links"))
             .withColumn("error", F.lit(None).cast("string"))
-            .drop("e")
+            .drop("e", "html")
+        )
+        found = self.pages.select(F.col("url").alias("__f_url")).join(
+            F.broadcast(batch.select(F.col("url").alias("__f_url"))),
+            "__f_url", "left_semi",
         )
         misses = (
             batch.join(
-                F.broadcast(hits.select(F.col("url").alias("__h_url"))),
-                batch["url"] == F.col("__h_url"),
+                F.broadcast(found),
+                batch["url"] == F.col("__f_url"),
                 "left_anti",
             )
             .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-            .withColumn("html", F.lit(None).cast("binary"))
             .withColumn("status", F.lit(404))
+            .withColumn("n_bytes", F.lit(0).cast("long"))
             .withColumn("text", F.lit(None).cast("string"))
             .withColumn("links", F.array().cast("array<string>"))
             .withColumn("error", F.lit("not_found"))
@@ -116,6 +129,7 @@ class HttpFetcher:
                 T.StructField("status", T.IntegerType()),
                 T.StructField("warc_ts", T.TimestampType()),
                 T.StructField("html", T.BinaryType()),
+                T.StructField("n_bytes", T.LongType()),
                 T.StructField("text", T.StringType()),
                 T.StructField("links", T.ArrayType(T.StringType())),
                 T.StructField("error", T.StringType()),
@@ -139,6 +153,7 @@ class HttpFetcher:
                 for c in ("status", "warc_ts", "html"):
                     b[c] = resp[c]
                 b["error"] = resp.get("error", pd.Series([None] * len(b), index=b.index))
+                b["n_bytes"] = b["html"].map(lambda h: len(h) if h is not None else 0)
                 ext = extract_frame(b["html"].where(b["status"] == 200, None))
                 b["text"] = ext["text"].where(b["status"] == 200, None)
                 b["links"] = ext["links"].where(

@@ -51,6 +51,12 @@ def build_spark(
     )
     b = (
         b.config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # local mode: the driver JVM is the only executor — give it the
+        # box (overridable); bound Arrow batches so N threads x batch of
+        # fat html rows can't exhaust direct memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

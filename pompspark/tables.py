@@ -122,6 +122,45 @@ class Catalog:
             "schema": prev["schema"], "partition_by": partition_by,
         })
 
+    def append_with(self, table: str, writer) -> tuple[int, str]:
+        """Single-materialization append: allocate the next data dir,
+        let ``writer(path)`` produce the parquet files (typically
+        ``df.write.parquet(path)`` of a SUPERSET of the table schema —
+        reads prune to the declared columns), then commit. Returns
+        (version, absolute data dir) so the caller can re-read the
+        exact files column-pruned instead of caching the DataFrame."""
+        prev_v = self.current_version(table)
+        prev = self._read_snapshot(table, prev_v)
+        v = prev_v + 1
+        rel = f"data/d-{v:08d}"
+        path = os.path.join(self._tdir(table), rel)
+        if os.path.exists(path):  # orphan from a rolled-back timeline
+            import shutil
+
+            shutil.rmtree(path)
+        writer(path)
+        self._commit(table, {
+            "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
+            "schema": prev["schema"], "partition_by": None,
+        })
+        return v, path
+
+    def append_dir(self, table: str, src_dir: str) -> int:
+        """Zero-copy append: register an ALREADY-WRITTEN data dir
+        (typically another table's data files that are a column
+        superset of this table's schema — reads prune). This is the
+        Iceberg add_files equivalent: one round's fetch output is
+        written once and serves fetch_log, trace and frontier_state
+        without re-writing a byte."""
+        prev_v = self.current_version(table)
+        prev = self._read_snapshot(table, prev_v)
+        v = prev_v + 1
+        rel = os.path.relpath(src_dir, self._tdir(table))
+        return self._commit(table, {
+            "version": v, "dirs": prev["dirs"] + [rel], "op": "append_dir",
+            "schema": prev["schema"], "partition_by": None,
+        })
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.current_version(table)
         snap = self._read_snapshot(table, v)

@@ -1,0 +1,376 @@
+"""Webtext/training-data operators over crawled text: dedup (exact,
+MinHash+LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+cosine + LSH-bucketed ANN), language-ID heuristic, quality scoring,
+token counting, rolling-hash fingerprints.
+
+These extend the crawl engine into a training-data pipeline (the
+fetch_log's ``text`` column is exactly the corpus a crawl feeds to
+training). No pomp analog — pomp ends at the item pipeline; these are
+the pipeline stages a 100 TB crawl actually runs next.
+
+Scale notes:
+- exact dedup: hash-groupBy on xxhash64(text) — one shuffle of 8-byte
+  keys, never the text itself.
+- MinHash: numpy permutation-free scheme (k independent hash mixes of
+  shingle xxhash-like values) inside a pandas UDF; LSH banding turns
+  all-pairs O(n^2) into a groupBy on (band, band_hash) buckets —
+  candidate pairs only within buckets.
+- SimHash: 64-bit weighted-bit signature; near-dups = identical
+  signature (or Hamming<=k via b+1-piece indexing).
+- ANN: brute-force top-k is a broadcast of the (small) query set and
+  one pass over the corpus with JVM-side F.aggregate/zip_with dot
+  products (no Python in the scan); the LSH variant buckets by
+  random-hyperplane signs first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ shingles
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _hash_shingles(tokens: list[str], n: int) -> np.ndarray:
+    """xxhash-ish 64-bit values for word n-gram shingles (python hash of
+    the joined shingle, mixed; deterministic via PYTHONHASHSEED-free
+    zlib.crc32 pairing)."""
+    import zlib
+
+    if len(tokens) < n:
+        joined = [" ".join(tokens)] if tokens else []
+    else:
+        joined = [" ".join(tokens[i: i + n]) for i in range(len(tokens) - n + 1)]
+    if not joined:
+        return np.zeros(0, dtype=np.uint64)
+    lo = np.array([zlib.crc32(s.encode("utf-8")) for s in joined], dtype=np.uint64)
+    hi = np.array([zlib.adler32(s.encode("utf-8")) for s in joined], dtype=np.uint64)
+    h = (lo << np.uint64(32)) | hi
+    h = (h ^ (h >> np.uint64(33))) * _MIX_A
+    h = (h ^ (h >> np.uint64(29))) * _MIX_B
+    return h ^ (h >> np.uint64(32))
+
+
+def minhash_signature(text: str, num_hashes: int = 64, shingle_n: int = 3) -> list[int]:
+    """k-minhash via k multiply-shift mixes of the shingle hash set."""
+    toks = (text or "").split()
+    sh = _hash_shingles(toks, shingle_n)
+    if len(sh) == 0:
+        return [0] * num_hashes
+    ks = np.arange(1, num_hashes + 1, dtype=np.uint64)
+    # mixed[i, j] = mix(sh[j] * odd_i)  -> min over j
+    mixed = sh[None, :] * (ks[:, None] * np.uint64(2) + np.uint64(1))
+    mixed = (mixed ^ (mixed >> np.uint64(31))) * _MIX_A
+    sig = mixed.min(axis=1)
+    return [int(x % np.uint64(1 << 63)) for x in sig]
+
+
+def simhash64(text: str, shingle_n: int = 2) -> int:
+    toks = (text or "").split()
+    sh = _hash_shingles(toks, shingle_n)
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if score[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out % np.uint64(1 << 63))
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = set(map(int, _hash_shingles((a or "").split(), n)))
+    sb = set(map(int, _hash_shingles((b or "").split(), n)))
+    if not sa and not sb:
+        return 1.0
+    u = len(sa | sb)
+    return len(sa & sb) / u if u else 0.0
+
+
+# ----------------------------------------------------------------- UDFs
+
+def register_text_udfs(num_hashes: int = 64, shingle_n: int = 3):
+    @F.pandas_udf("array<long>")
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: minhash_signature(t, num_hashes, shingle_n))
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash64(t))
+
+    return minhash_udf, simhash_udf
+
+
+# ------------------------------------------------------------------ dedup
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: 8-byte hash groupBy (text never shuffles); keeps the
+    smallest id as representative."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding: signature ->
+    ``bands`` slices -> groupBy (band, slice-hash) buckets -> pairs
+    within a bucket (distinct). rows_per_band = num_hashes / bands.
+    Shuffle volume: (id, band_hash) pairs, never text."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    minhash_udf, _ = register_text_udfs(num_hashes, shingle_n)
+    sig = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rpb + i + 1).cast("string")
+                        for i in range(rpb)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact-signature SimHash groups (Hamming-0 near-dups)."""
+    _, simhash_udf = register_text_udfs()
+    return (
+        df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("id").alias("rep_id"), F.count("*").alias("n_members"))
+    )
+
+
+# ------------------------------------------------------------ similarity
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set, one corpus
+    pass, dot product via JVM-side zip_with/aggregate (no Python UDF in
+    the scan), rank per query. Tie-break by neighbor id (determinism)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH signs bucket the corpus;
+    each query scans only its bucket (recall < 1, cost ~ n/2^planes).
+    Planes are a deterministic broadcast little matrix; sign bits are
+    computed JVM-side per plane."""
+    rng = np.random.default_rng(seed)
+    # dimension from one row (driver peek; embeddings are fixed-width)
+    dim = len(embeddings.select(vec_col).head()[0])
+    planes = rng.standard_normal((n_planes, dim))
+
+    def sign_col(col, plane) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    def bucket(col) -> F.Column:
+        b = F.lit(0)
+        for i in range(n_planes):
+            b = b * 2 + sign_col(col, planes[i])
+        return b
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        bucket(F.col(vec_col)).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (norm(F.col("qv")) * norm(F.col("cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ------------------------------------------------------------ text quality
+
+_STOPWORDS = (
+    "the of and a to in is it that was for on are as with his they at be this "
+    "have from or had by not but what all were we when your can said there use "
+    "an each which she do how their if"
+).split()
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Crawl-quality heuristics, all JVM-side: length, word count, mean
+    word length, punctuation ratio, stopword ratio, alpha ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(t, " ")
+    n_words = F.when(n_chars == 0, 0).otherwise(F.size(words))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"]", ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return df.withColumns({
+        "q_n_chars": n_chars.cast("long"),
+        "q_n_words": n_words.cast("long"),
+        "q_mean_word_len": F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0),
+        "q_punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
+        "q_alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0),
+        "q_stopword_ratio": F.when(n_words > 0, n_stop.cast("double") / n_words).otherwise(0.0),
+    })
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic (JVM-side): argmax of marker
+    hit counts; 'und' (undetermined) when nothing matches."""
+    words = F.transform(F.split(F.col(text_col), " "), lambda w: F.lower(w))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best.getField("score") > 0, best.getField("lang")).otherwise("und"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword estimate: whitespace tokens plus an
+    extra token per 4 chars of long words (cheap proxy, JVM regex)."""
+    t = F.col(text_col)
+    ws_tokens = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+    # words longer than 8 chars contribute ceil(len/4)-1 extra subwords
+    extras = F.aggregate(
+        F.filter(F.split(t, r"\s+"), lambda w: F.length(w) > 8),
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4).cast("int") - 1,
+    )
+    return df.withColumns({
+        "n_ws_tokens": ws_tokens.cast("long"),
+        "n_est_tokens": (ws_tokens + extras).cast("long"),
+    })
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                window: int = 16) -> DataFrame:
+    """Rolling-hash document fingerprint: min xxhash over sliding char
+    windows (winnowing-lite), JVM-side via sequence+transform."""
+    t = F.col(text_col)
+    n = F.length(t)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), (n - window + 1).cast("int")),
+        F.lit(max(1, window // 2)),
+    )
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(t, i, window)))
+    return df.withColumn(
+        "fingerprint",
+        F.when(n == 0, F.lit(0)).otherwise(F.array_min(hashes)),
+    )

@@ -1,0 +1,169 @@
+"""Training-data text operators: dedup (exact/minhash-LSH/simhash),
+similarity search (brute-force + LSH ANN), quality/lang/token/fingerprint."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pompspark.textops import (
+    brute_force_topk,
+    exact_dedup,
+    lang_id,
+    lsh_bucketed_topk,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard,
+    quality_scores,
+    simhash64,
+    simhash_dedup,
+    token_count,
+    fingerprint,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away into "
+    "the deep green forest where many animals live happily together"
+)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": f"{BASE} variant {i}"})
+    # exact dupes of doc 0
+    rows.append({"doc_id": 100, "text": f"{BASE} variant 0"})
+    rows.append({"doc_id": 101, "text": f"{BASE} variant 0"})
+    # near-dup of doc 1 (one word changed)
+    rows.append({"doc_id": 102, "text": f"{BASE} variant 1 extra"})
+    # completely different
+    rows.append({"doc_id": 103, "text": "zzz completely unrelated content qqq " * 5})
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+# ------------------------------------------------------------- pure functions
+
+def test_minhash_similarity_monotone():
+    a = minhash_signature(BASE, 128)
+    b = minhash_signature(BASE + " tail", 128)
+    c = minhash_signature("totally different words entirely unrelated", 128)
+    sim_ab = sum(x == y for x, y in zip(a, b)) / 128
+    sim_ac = sum(x == y for x, y in zip(a, c)) / 128
+    assert sim_ab > 0.5 > sim_ac
+    assert minhash_signature(BASE, 128) == a  # deterministic
+    assert minhash_signature("", 128) == [0] * 128
+
+
+def test_simhash_hamming():
+    a, b = simhash64(BASE), simhash64(BASE + " tail")
+    c = simhash64("totally different words entirely unrelated")
+    ham = lambda x, y: bin(x ^ y).count("1")  # noqa: E731
+    assert ham(a, b) < ham(a, c)
+    assert simhash64(BASE) == a
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, "nothing in common here at all") == 0.0
+    mid = ngram_jaccard(BASE, BASE + " small tail added")
+    assert 0.5 < mid < 1.0
+
+
+# ------------------------------------------------------------- Spark ops
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    out = exact_dedup(d)
+    groups = {r.rep_id: r.n_dupes for r in out.collect()}
+    assert groups[0] == 3  # doc 0 + 100 + 101
+    assert out.count() == d.count() - 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    d = _docs(spark)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(d, bands=32).collect()}
+    assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
+    assert (1, 102) in pairs  # near-dup caught by banding
+    assert not any(103 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_simhash_dedup_groups_exact(spark):
+    d = _docs(spark)
+    out = {r.rep_id: r.n_members for r in simhash_dedup(d).collect()}
+    assert out[0] == 3
+
+
+def test_brute_force_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.limit(3)
+    out = brute_force_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        cos = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cos == sorted(cos, reverse=True)
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_lsh_topk_subset_of_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.limit(3)
+    bf = brute_force_topk(emb, q, k=50)
+    ann = lsh_bucketed_topk(emb, q, k=5, n_planes=4)
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    ann_rows = ann.collect()
+    assert len(ann_rows) > 0
+    recall = sum((r.query_id, r.neighbor_id) in bf_pairs for r in ann_rows) / len(ann_rows)
+    assert recall >= 0.5  # bucketing keeps mostly-true neighbors
+
+
+def test_quality_scores(spark):
+    d = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": "Good clean text with some words."},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "!!!???...;;;"},
+    ]))
+    rows = {r.doc_id: r for r in quality_scores(d).collect()}
+    assert rows[0].q_n_words == 6
+    assert rows[0].q_stopword_ratio > 0
+    assert rows[1].q_n_chars == 0 and rows[1].q_punct_ratio == 0.0
+    assert rows[2].q_punct_ratio > 0.9 and rows[2].q_alpha_ratio == 0.0
+
+
+def test_lang_id(spark):
+    d = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": "the cat and the dog of the house is big"},
+        {"doc_id": 1, "text": "der Hund und die Katze das ist gut"},
+        {"doc_id": 2, "text": "xyzzy plugh"},
+    ]))
+    rows = {r.doc_id: r.lang_pred for r in lang_id(d).collect()}
+    assert rows[0] == "en" and rows[1] == "de" and rows[2] == "und"
+
+
+def test_token_count(spark):
+    d = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": "short words only here"},
+        {"doc_id": 1, "text": "supercalifragilistic expialidocious"},
+        {"doc_id": 2, "text": ""},
+    ]))
+    rows = {r.doc_id: r for r in token_count(d).collect()}
+    assert rows[0].n_ws_tokens == 4 and rows[0].n_est_tokens == 4
+    assert rows[1].n_ws_tokens == 2 and rows[1].n_est_tokens > 2
+    assert rows[2].n_ws_tokens == 0
+
+
+def test_fingerprint_dupes_match(spark):
+    d = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": "something else entirely different here"},
+    ]))
+    rows = {r.doc_id: r.fingerprint for r in fingerprint(d).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
