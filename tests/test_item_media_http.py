@@ -1,0 +1,128 @@
+"""Item/Field parity (pomp contrib.item), media plumbing stubs, and
+HttpFetcher (mapInPandas transport) with an injected fake transport."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pompspark.item import Field, Item
+
+
+class PageItem(Item):
+    url = Field(str)
+    n_links = Field(int)
+    score = Field(float)
+
+
+def test_item_schema_order_and_rows(spark):
+    s = PageItem.schema()
+    assert [f.name for f in s.fields] == ["url", "n_links", "score"]
+    assert s["n_links"].dataType.typeName() == "long"
+    it = PageItem(url="http://a/", n_links=3, score=0.5)
+    assert it.row() == ("http://a/", 3, 0.5)
+    df = PageItem.to_df(spark, [it, PageItem(url="http://b/", n_links=0, score=None)])
+    assert df.count() == 2
+    with pytest.raises(TypeError):
+        PageItem(bogus=1)
+
+
+class Child(PageItem):
+    extra = Field(bytes)
+
+
+def test_item_inheritance():
+    assert list(Child._fields) == ["url", "n_links", "score", "extra"]
+    assert Child.schema()["extra"].dataType.typeName() == "binary"
+
+
+# --------------------------------------------------------------- media
+
+def test_decode_images_fake(spark):
+    from pompspark.media import decode_images, fake_image_decoder
+
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2, 3],
+            "payload": [b"\x10abcdef\x20", b"\x30xyz\x01", None],
+        })
+    )
+    out = decode_images(df, decoder=fake_image_decoder).collect()
+    rows = {r.media_id: r for r in out}
+    assert rows[1].width == 16 + 0x10 % 48 and rows[1].decode_error is None
+    assert len(rows[1].features) == 64
+    assert rows[3].decode_error is not None  # error isolated, task alive
+    assert rows[3].features is None
+
+
+def test_decode_images_default_stub_raises_cleanly(spark):
+    from pompspark.media import decode_images
+
+    df = spark.createDataFrame(pd.DataFrame({"payload": [b"xx"]}))
+    out = decode_images(df).collect()  # default decoder -> error column
+    assert "NotImplementedError" in out[0].decode_error or "codec" in out[0].decode_error
+
+
+def test_sample_frames(spark):
+    from pompspark.media import sample_frames
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "vid": [1], "payload": [bytes([25]) + b"videodata"],
+    }))
+    out = sample_frames(df, every_n=10).collect()
+    assert [r.frame_idx for r in out] == [0, 10, 20]
+    assert all(r.frame == bytes([25]) + b"videoda" for r in out)
+
+
+# --------------------------------------------------------------- http fetcher
+
+def test_http_fetcher_with_fake_transport(spark, tmp_path):
+    """Prove the real-cluster fetch path end-to-end: engine + HttpFetcher
+    with an injected deterministic transport (no network)."""
+    from pompspark.engine import CrawlEngine
+    from pompspark.fetch import HttpFetcher
+    from pompspark.fixtures import SMALL_SITEMAP, page_html
+
+    def transport(urls: pd.Series) -> pd.DataFrame:
+        status, ts, html = [], [], []
+        for u in urls:
+            kids = SMALL_SITEMAP.get(u)
+            if kids is None:
+                status.append(404); ts.append(pd.NaT); html.append(None)
+            else:
+                status.append(200)
+                ts.append(dt.datetime(2026, 1, 1))
+                html.append(page_html(u, f"body of {u}", kids))
+        return pd.DataFrame({"status": status, "warc_ts": ts, "html": html},
+                            index=urls.index)
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "s"), HttpFetcher(transport),
+        ordering="bfs", per_round_budget=5, per_host_budget=5,
+    )
+    eng.seed(["http://a.example/p0"])
+    eng.run(max_rounds=50)
+    urls = {r.url for r in eng.trace().collect()}
+    assert urls == set(SMALL_SITEMAP)
+    log = {r.url: r for r in eng.fetch_log().collect()}
+    assert all(log[u].status == 200 for u in SMALL_SITEMAP)
+
+
+def test_http_fetcher_transport_failure_isolated(spark, tmp_path):
+    from pompspark.engine import CrawlEngine
+    from pompspark.fetch import HttpFetcher
+
+    def bad_transport(urls: pd.Series) -> pd.DataFrame:
+        raise ConnectionError("network down")
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "s"), HttpFetcher(bad_transport),
+        ordering="bfs", per_round_budget=5, per_host_budget=5,
+    )
+    eng.seed(["http://a.example/p0"])
+    eng.run(max_rounds=3)
+    log = eng.fetch_log().collect()
+    assert len(log) == 1
+    assert log[0].status == 599 and "network down" in log[0].error
