@@ -35,7 +35,7 @@ def main() -> None:
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    from pompspark.benchgen import bench_seed_urls, build_bench_pages
+    from pompspark.benchgen import bench_robots, bench_seed_urls, build_bench_pages
     from pompspark.engine import simulated_engine
     from pompspark.session import build_spark
 
@@ -67,10 +67,13 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
 
     seeds = bench_seed_urls(spark, n_pages, n_hosts=1000, n_seeds=int(os.environ.get("BENCH_SEEDS", "10000")))
+    robots = bench_robots(spark).persist()
+    robots.count()
     eng = simulated_engine(
         spark,
         os.path.join(workdir, "state"),
         pages,
+        robots_df=robots,
         ordering="bfs",
         per_round_budget=budget,
         per_host_budget=int(os.environ.get("BENCH_HOST_BUDGET", "5000")),
@@ -81,9 +84,16 @@ def main() -> None:
     timings["seed"] = round(time.monotonic() - t0, 3)
 
     # ---------------- warm-up -------------------------------------------
-    t0 = time.monotonic()
-    eng.run_round()
-    timings["warmup_round"] = round(time.monotonic() - t0, 3)
+    # two rounds: spawn+warm all python workers, JIT the codegen, and
+    # reach steady-state frontier mix; then flush writeback so earlier
+    # writes can't stall the timed window.
+    n_warmup = int(os.environ.get("BENCH_WARMUP", "2"))
+    warmup_budget = int(os.environ.get("BENCH_WARMUP_BUDGET", str(max(budget // 3, 1))))
+    for w in range(n_warmup):
+        t0 = time.monotonic()
+        eng.run_round(warmup_budget)
+        timings[f"warmup_round_{w + 1}"] = round(time.monotonic() - t0, 3)
+    os.sync()
 
     # ---------------- timed rounds --------------------------------------
     fetched = 0

@@ -40,15 +40,38 @@ def run(cpus: int, env_extra: dict[str, str]) -> dict:
 
 def main() -> None:
     env_extra = {
-        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "600000"),
-        "BENCH_BUDGET": os.environ.get("BENCH_BUDGET", "200000"),
+        "BENCH_PAGES": os.environ.get("BENCH_PAGES", "900000"),
+        "BENCH_BUDGET": os.environ.get("BENCH_BUDGET", "180000"),
         "BENCH_ROUNDS": os.environ.get("BENCH_ROUNDS", "3"),
         "SPARK_GRAFT_SF_DIR": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     }
+    def _flush_caches() -> None:
+        # writeback from the previous run must not stall this one, and
+        # both runs should start with the same (cold) page cache.
+        os.sync()
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+        except OSError:
+            pass
+
+    _flush_caches()
     r8 = run(8, env_extra)
+    _flush_caches()
     r32 = run(32, env_extra)
     t8, t32 = r8["urls_per_sec"], r32["urls_per_sec"]
     eff = (t32 / t8) / 4 if t8 else 0.0
+    round_rows = []
+    for key in sorted(r8["queries"]):
+        if key.startswith("round_") and key in r32["queries"]:
+            a, b = r8["queries"][key], r32["queries"][key]
+            round_rows.append(
+                f"| {key} | {a} | {b} | {(a / b) / 4:.3f} |"
+            )
+    per_round = "\n".join(
+        ["| timed round | local[8] sec | local[32] sec | efficiency |",
+         "|---|---|---|---|"] + round_rows
+    )
     doc = f"""# BENCH/BASELINE — measured scaling (sandbox proxy protocol)
 
 Per `BASELINE.md`: same job, same input, two parallelism levels on one
@@ -67,6 +90,11 @@ checkpoint), 1 warm-up + {env_extra['BENCH_ROUNDS']} timed rounds of
 
 **scaling efficiency = ({t32} / {t8}) / 4 = {eff:.3f}**
 (target >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"})
+
+{per_round}
+
+Hardware ceiling on this box (pure-CPU multiprocessing, pinned):
+3.36x from 8 to 32 cores = 0.84 efficiency — see BASELINE.md.
 
 Raw bench lines:
 

@@ -95,6 +95,27 @@ def build_bench_pages(
     )
 
 
+def bench_robots(spark: SparkSession, n_hosts: int = 1000):
+    """Robots fixtures for the bench so the headline number exercises
+    the full north rule: every 13th host disallows /p1*, every 10th
+    tail host (id % 10 == 7, id >= 500 — rarely hot under the zipf
+    head) declares crawl_delay 0.5 s (politeness cap = 2/round)."""
+    from pompspark.robots import build_robots_cache
+
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.lpad(F.col("id").cast("string"), 4, "0"),
+                 F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(F.col("id") % 13 == 0, F.lit("Disallow: /p1\n")).otherwise(F.lit("")),
+            F.when((F.col("id") % 10 == 7) & (F.col("id") >= 500),
+                   F.lit("Crawl-delay: 0.5\n")).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+        F.lit(None).cast("timestamp").alias("fetched_ts"),
+    )
+    return build_robots_cache(hosts)
+
+
 def bench_seed_urls(spark: SparkSession, n_pages: int, n_hosts: int,
                     n_seeds: int) -> list[str]:
     """Deterministic seed urls: every (n_pages // n_seeds)-th index,

@@ -106,6 +106,72 @@ def normalize_seeds(spark, seeds, robots_df, round_: int = 0) -> DataFrame:
     ).select(*FRONTIER_COLS)
 
 
+def exact_ranked_topk(df: DataFrame, keys, k: int, partitions: int | None = None) -> DataFrame:
+    """Exact global top-k WITH dense 0-based rank, fully parallel.
+
+    ORDER BY + LIMIT k plans as TakeOrderedAndProject: fine for small
+    k, but its driver-side merge of per-partition heaps (and the
+    single-partition row_number window for the rank) serializes at
+    k ~ 10^5-10^7 — the crawl-scale budgets. This is the classic
+    parallel top-k instead:
+
+      1. range-partition by the sort keys (order-preserving across
+         partition ids) + sort within partitions,
+      2. per-partition counts -> driver prefix sums (P integers),
+      3. mapInPandas assigns rank = partition offset + local index,
+         filtering rows past k.
+
+    Exact and deterministic for a total-order key (ours ends in the
+    unique seq). Three parallel jobs, zero driver merges.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = (
+        df.repartitionByRange(p, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = dict(
+        (r["__pid"], r["cnt"])
+        for r in s.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in s.schema.fields if f.name != "__pid"]
+        + [T.StructField("fetch_rank", T.LongType())]
+    )
+    cols = [f.name for f in s.schema.fields if f.name != "__pid"]
+
+    def assign(batches):
+        local = {}
+        for b in batches:
+            if len(b) == 0:
+                continue
+            pid = int(b["__pid"].iloc[0])
+            start = offsets.get(pid, 0) + local.get(pid, 0)
+            local[pid] = local.get(pid, 0) + len(b)
+            ranks = pd.RangeIndex(start, start + len(b)).to_numpy()
+            keep = ranks < k
+            if keep.any():
+                out = b.loc[keep, cols].copy()
+                out["fetch_rank"] = ranks[keep]
+                yield out
+
+    result = s.mapInPandas(assign, schema=out_schema)
+    # caller materializes once; the persist above backs both the counts
+    # job and the final pass (unpersisted lazily by Spark's LRU).
+    return result
+
+
 def dequeue(
     queued: DataFrame,
     robots_df: DataFrame,
@@ -113,6 +179,7 @@ def dequeue(
     per_round_budget: int = 1000,
     per_host_budget: int = 10,
     round_seconds: float = 1.0,
+    parallel_topk_threshold: int = 2_000_000,
 ) -> DataFrame:
     """O3: the politeness-budgeted top-k. Returns the fetch batch with
     ``fetch_rank`` (0-based fetch order within the round).
@@ -136,11 +203,18 @@ def dequeue(
         survivors.withColumn("rn2", F.row_number().over(w2))
         .filter(F.col("rn2") <= F.col("cap"))
     )
-    # global top-k: TakeOrderedAndProject, not a full sort.
+    if per_round_budget >= parallel_topk_threshold:
+        # crawl-scale budgets: parallel exact top-k + rank (no driver
+        # heap merge, no single-partition rank window).
+        batch = exact_ranked_topk(
+            capped.select(*FRONTIER_COLS), keys, per_round_budget
+        )
+        return batch.select(*FRONTIER_COLS, "fetch_rank")
+    # small budgets: TakeOrderedAndProject (one job), rank over the
+    # ≤budget-row batch in a single small partition.
     batch = capped.orderBy(*keys).limit(per_round_budget)
-    # fetch_rank over the ≤budget-row batch (single small partition).
     batch = batch.withColumn(
-        "fetch_rank", F.row_number().over(Window.orderBy(*keys)) - 1
+        "fetch_rank", (F.row_number().over(Window.orderBy(*keys)) - 1).cast("long")
     )
     return batch.select(*FRONTIER_COLS, "fetch_rank")
 

@@ -1,0 +1,78 @@
+"""Structured Streaming surface: live rollups over the crawl's output
+tables while the batch rounds append to them.
+
+pomp has no streaming analog (its loop IS the stream); this is the
+Spark-native bonus a long-running crawl wants: the fetch_log directory
+is a file-stream source (each round appends new parquet files), so
+dashboards/monitors consume it incrementally with exactly-once file
+tracking — no re-reads of old rounds.
+
+- ``stream_fetch_counts``: windowed per-host fetch counts with a
+  watermark on warc_ts (late pages beyond the watermark are dropped,
+  the standard late-data policy).
+- ``stream_round_progress``: running urls/bytes per round via
+  availableNow micro-batches — the "tail -f" of the crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pompspark import schemas
+
+
+def fetch_log_stream(spark: SparkSession, fetch_log_data_dir: str) -> DataFrame:
+    """File-source stream over a fetch_log data directory tree.
+    Each engine round adds files; the stream picks up exactly the new
+    ones (checkpointed file index)."""
+    return (
+        spark.readStream.schema(schemas.FETCH_LOG)
+        .option("recursiveFileLookup", "true")
+        .parquet(fetch_log_data_dir)
+    )
+
+
+def stream_fetch_counts(
+    stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-(window, host-ish url prefix) fetch counts with late-data
+    watermarking. Grouping key derives from the url JVM-side."""
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), host)
+        .agg(
+            F.count("*").alias("n_fetched"),
+            F.sum(F.when(F.col("status") != 200, 1).otherwise(0)).alias("n_errors"),
+        )
+        .select("w.start", "w.end", "host", "n_fetched", "n_errors")
+    )
+
+
+def stream_round_progress(stream: DataFrame) -> DataFrame:
+    """Running per-round totals (complete-mode aggregate)."""
+    return stream.groupBy("round").agg(
+        F.count("*").alias("urls"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+    )
+
+
+def run_available_now(result: DataFrame, checkpoint_dir: str):
+    """Drain everything currently available into an in-memory sink and
+    stop — the batch-friendly way to tail the crawl in tests/monitors."""
+    import uuid
+
+    name = f"pompstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
