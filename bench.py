@@ -27,8 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "600000"))
-    budget = int(os.environ.get("BENCH_BUDGET", "200000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "400000"))
+    budget = int(os.environ.get("BENCH_BUDGET", "120000"))
     timed_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     workdir = os.environ.get(
         "BENCH_WORKDIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
