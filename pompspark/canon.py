@@ -49,6 +49,12 @@ def _norm_pct(component: str, safe: str) -> str:
 def _norm_path(path: str) -> str:
     if not path:
         return "/"
+    # percent-normalize FIRST (decode unreserved chars — '.' is
+    # unreserved), THEN remove dot segments: an encoded '%2e%2e' must
+    # resolve like a literal '..' or c(c(u)) != c(u) — the first pass
+    # would emit a literal '..' the second pass then collapses
+    # (idempotence contract; caught in round-1 advice).
+    path = _norm_pct(path, _PATH_SAFE)
     # remove dot segments (RFC 3986 §5.2.4)
     out: list[str] = []
     for seg in path.split("/"):
@@ -62,7 +68,7 @@ def _norm_path(path: str) -> str:
     p = "/".join(out)
     if not p.startswith("/"):
         p = "/" + p
-    return _norm_pct(p, _PATH_SAFE)
+    return p
 
 
 def _norm_query(query: str) -> str:

@@ -36,6 +36,8 @@ from pompspark.canon import register_udfs
 from pompspark.fetch import SimulatedFetcher
 from pompspark.frontier import (
     FRONTIER_COLS,
+    S_RANK,
+    S_ROUND,
     FrontierStore,
     dequeue,
     new_frontier_rows,
@@ -225,7 +227,12 @@ class CrawlEngine:
             # state are precomputed so the trace and frontier_state
             # tables can ALIAS these files zero-copy (append_dir):
             "url_hash", "host", "depth", "fetch_rank", "links", "n_bytes",
-            (F.lit(r).cast("long") * F.lit(1 << 20) + F.col("fetch_rank")).alias("seq"),
+            # same field widths as frontier seq packing (frontier.S_*):
+            # rank < 2^24 is enforced by dequeue's budget guard.
+            (
+                F.lit(r).cast("long") * F.lit(S_ROUND)
+                + F.col("fetch_rank") * F.lit(S_RANK)
+            ).alias("seq"),
             F.when(F.col("status") == 200, F.lit("fetched"))
             .otherwise(F.lit("error")).alias("state"),
         )

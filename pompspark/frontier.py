@@ -20,10 +20,14 @@ Scale design (10^10-URL frontier):
 - global top-k is ``ORDER BY ... LIMIT`` → Spark's TakeOrderedAndProject
   (per-partition heap + driver merge), never a full sort shuffle.
 - ``seq`` (discovery order, the queue tie-breaker) is assigned
-  WITHOUT a global row_number: ``seq = round<<40 | fetch_rank<<20 | pos``
-  is deterministic, collision-free (budget < 2^20 ranks, outdegree
-  < 2^20 links), and order-isomorphic to a global counter — so traces
-  match the oracle while seq assignment stays embarrassingly parallel.
+  WITHOUT a global row_number: ``seq = round<<45 | fetch_rank<<21 | pos``
+  is deterministic, collision-free (budget < 2^24 ranks — enforced in
+  dequeue(); outdegree < 2^21 links per page — enforced in
+  new_frontier_rows()), and order-isomorphic to a global counter — so
+  traces match the oracle while seq assignment stays embarrassingly
+  parallel. Field widths cover the advertised crawl scale: 2^24 =
+  16.7M-url round budgets (the parallel top-k path's territory),
+  2^21 = 2M outlinks/page, 2^18 = 262k rounds.
 """
 
 from __future__ import annotations
@@ -37,8 +41,10 @@ from pompspark.robots import politeness_cap_col, with_robots
 from pompspark.tables import Catalog
 
 SALT_N = 16
-S_ROUND = 1 << 40
-S_RANK = 1 << 20
+S_ROUND = 1 << 45
+S_RANK = 1 << 21
+MAX_RANK = S_ROUND // S_RANK  # 2^24 ranks per round
+MAX_POS = S_RANK              # 2^21 outlinks per page
 
 CHILD_PRIORITY = 0.5  # pinned contract — see tests/oracle_sim.py
 SEED_PRIORITY = 1.0
@@ -186,6 +192,11 @@ def dequeue(
 
     pomp analog: BaseQueue.get_requests(count=workers) — count here is
     per_round_budget; politeness caps are the [A] addition."""
+    if per_round_budget > MAX_RANK:
+        raise ValueError(
+            f"per_round_budget {per_round_budget} exceeds the seq "
+            f"rank-field width ({MAX_RANK}); widen S_RANK packing"
+        )
     keys = sort_keys(ordering)
     df = with_robots(queued, robots_df)
     cap = politeness_cap_col(per_host_budget, round_seconds)
@@ -272,10 +283,21 @@ def new_frontier_rows(
             "left_anti",
         )
     fresh = with_robots(fresh, robots_df)
+    # pos-field width guard: a page with >= 2^21 outlinks would make
+    # seq collide with the next rank — raise instead of silently
+    # corrupting the queue order (physically impossible for real pages,
+    # but the invariant is load-bearing).
+    pos_checked = F.when(
+        F.col("pos") < F.lit(MAX_POS), F.col("pos").cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"outdegree exceeds seq pos-field width ({MAX_POS})")
+        ).cast("long")
+    )
     seq = (
         F.lit(round_).cast("long") * F.lit(S_ROUND)
         + F.col("fetch_rank").cast("long") * F.lit(S_RANK)
-        + F.col("pos").cast("long")
+        + pos_checked
     )
     return fresh.select(
         "url",

@@ -56,6 +56,12 @@ def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[
                 delay = float(val)
             except ValueError:
                 pass
+        else:
+            # RFC 9309: ANY rule line (Allow, Sitemap, unknown
+            # extensions) ends the current group's agent list — without
+            # this, 'User-agent: a\nAllow: /\nUser-agent: *\n...' would
+            # wrongly merge '*' rules into agent a (round-1 advice).
+            in_rules = True
     flush()
 
     named = [g for g in groups if agent.lower() in g[0]]

@@ -36,8 +36,10 @@ def spark_trace(spark, tmp_path, ordering, per_round, per_host, robots=False,
     eng.seed(seeds or [SMALL_SEED])
     eng.run(max_rounds=100)
     rows = eng.trace().collect()
+    from pompspark.frontier import S_RANK, S_ROUND
+
     return [
-        (r.round, int(r.seq) & ((1 << 20) - 1), r.url, r.depth, r.host)
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
         for r in rows
     ], eng
 
