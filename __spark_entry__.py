@@ -219,11 +219,16 @@ def q_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_url_salt_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-host salting: murmur3-derived salt spread (Spark-specific
-    hash -> rows-only check). north rule: 'explicit salting'."""
+    """Hot-host salting: salt spread over the frontier (north rule:
+    'explicit salting'). The ENGINE salts with murmur3 (F.hash,
+    pompspark/frontier.py _identity_cols); this query derives the salt
+    from md5's first hex digit instead so the DuckDB oracle can verify
+    the distribution exactly — the property under test (urls of one
+    host spread ~uniformly over 16 salts) is hash-agnostic."""
     f = _frontier(spark, sf_dir)
+    salt = F.conv(F.substring(F.md5("url"), 1, 1), 16, 10).cast("int")
     return (
-        f.select(F.pmod(F.hash("url"), F.lit(16)).cast("int").alias("salt"))
+        f.select(salt.alias("salt"))
         .groupBy("salt")
         .agg(F.count("*").alias("n"))
         .orderBy("salt")
@@ -269,13 +274,20 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + heuristic language-ID over documents
-    (JVM-side expressions; rows-only — float ratios)."""
+    """Quality scoring + heuristic language-ID over documents (all
+    JVM-side expressions). Integral outputs only (stopword ratio as
+    floor-mills) so the DuckDB oracle compares exactly."""
     from pompspark.textops import lang_id, quality_scores, token_count
 
     d = _documents(spark, sf_dir)
-    return token_count(lang_id(quality_scores(d))).select(
-        "doc_id", "q_n_chars", "q_n_words", "q_stopword_ratio",
+    out = token_count(lang_id(quality_scores(d)))
+    mills = F.when(
+        F.col("q_n_words") > 0,
+        F.floor(F.col("q_n_stop") * 1000 / F.col("q_n_words")),
+    ).otherwise(0)
+    return out.select(
+        "doc_id", "q_n_chars", "q_n_words",
+        mills.cast("long").alias("q_stopword_mills"),
         "lang_pred", "n_est_tokens",
     )
 
@@ -325,7 +337,12 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.partitionBy("host").orderBy("seq")).alias("fetch_rank"),
         (hid % 3).cast("double").alias("crawl_delay"),
     ).filter(F.col("fetch_rank") <= 5)
-    return schedule_slots(batch).select("url", "host", "fetch_rank", "slot_s")
+    # slot as integral milliseconds: the grouped-UDF path is exercised,
+    # the oracle twin is the closed form (rank-1) * delay.
+    return schedule_slots(batch).select(
+        "url", "host", "fetch_rank",
+        (F.col("slot_s") * 1000).cast("long").alias("slot_ms"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +380,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# must stay in lockstep with pompspark.textops._STOPWORDS
+_STOPWORDS_SQL = (
+    "['the','of','and','a','to','in','is','it','that','was','for','on','are',"
+    "'as','with','his','they','at','be','this','have','from','or','had','by',"
+    "'not','but','what','all','were','we','when','your','can','said','there',"
+    "'use','an','each','which','she','do','how','their','if']"
+)
+
 _FRONTIER_SQL = f"""
     SELECT 'http://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example/p'
                || CAST(doc_id AS VARCHAR)                      AS url,
@@ -374,8 +399,51 @@ _FRONTIER_SQL = f"""
 """
 
 
+def _ann_lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """SQL twin of textops.lsh_bucketed_topk: the hyperplanes are a
+    DETERMINISTIC numpy draw (seed 42), so they embed as literals —
+    same doubles on both engines (repr round-trips float64 exactly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    signs = []
+    for i in range(n_planes):
+        lits = ", ".join(repr(float(x)) for x in planes[i])
+        weight = 1 << (n_planes - 1 - i)
+        signs.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {weight} ELSE 0 END)"
+        )
+    bucket = " + ".join(signs)
+    return f"""
+        WITH e2 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e2),
+        q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket
+          FROM b ORDER BY vec_id LIMIT 10
+        ),
+        s AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.qv, c.v) AS cos
+          FROM b c JOIN q USING (bucket)
+          WHERE c.vec_id <> q.query_id
+        ),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+          FROM s
+        )
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "frontier_dequeue": f"""
             WITH f AS ({_FRONTIER_SQL}),
             r AS (
@@ -475,6 +543,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars_sum
             FROM documents GROUP BY lang
         """,
-        # url_salt_distribution: Spark murmur3 — rows-only check
-        # crawl_trace_bfs: iterative engine loop — rows-only check
+        "url_salt_distribution": f"""
+            WITH f AS ({_FRONTIER_SQL})
+            SELECT CAST(CAST(concat('0x', substring(md5(url), 1, 1)) AS INTEGER) AS INTEGER) AS salt,
+                   COUNT(*) AS n
+            FROM f GROUP BY 1 ORDER BY salt
+        """,
+        "politeness_schedule": f"""
+            WITH f AS ({_FRONTIER_SQL}),
+            b AS (
+              SELECT url, host,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY seq) AS fetch_rank,
+                     CAST(REGEXP_EXTRACT(host, 'h(\\d+)\\.example', 1) AS BIGINT) % 3 AS d
+              FROM f
+            )
+            SELECT url, host, CAST(fetch_rank AS INT) AS fetch_rank,
+                   CAST((fetch_rank - 1) * d * 1000 AS BIGINT) AS slot_ms
+            FROM b WHERE fetch_rank <= 5
+        """,
+        "quality_lang_id": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     LENGTH(text) AS n_chars,
+                     str_split(text, ' ') AS words,
+                     str_split_regex(text, '\\s+') AS ws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN n_chars = 0 THEN 0 ELSE len(words) END AS n_words,
+                     len(list_filter(words,
+                        x -> list_contains({_STOPWORDS_SQL}, lower(x)))) AS n_stop,
+                     (list_sort([
+                        {{'score': len(list_filter(words, x -> list_contains(['the','and','of','to','is'], lower(x)))), 'lang': 'en'}},
+                        {{'score': len(list_filter(words, x -> list_contains(['der','die','und','das','ist'], lower(x)))), 'lang': 'de'}},
+                        {{'score': len(list_filter(words, x -> list_contains(['le','la','et','les','est'], lower(x)))), 'lang': 'fr'}},
+                        {{'score': len(list_filter(words, x -> list_contains(['el','la','los','que','es'], lower(x)))), 'lang': 'es'}}
+                     ]))[-1] AS best,
+                     CASE WHEN LENGTH(text) = 0 THEN 0 ELSE len(ws) END AS ws_tokens,
+                     COALESCE(list_sum(list_transform(
+                        list_filter(ws, x -> length(x) > 8),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT) - 1)), 0) AS extras
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS q_n_chars,
+                   CAST(n_words AS BIGINT) AS q_n_words,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (n_stop * 1000) // n_words ELSE 0 END AS BIGINT)
+                     AS q_stopword_mills,
+                   CASE WHEN struct_extract(best, 'score') > 0
+                        THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred,
+                   CAST(ws_tokens + extras AS BIGINT) AS n_est_tokens
+            FROM c
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        """,
+        # rows-only by declared design (each pinned by a pytest):
+        # - crawl_trace_bfs / crawl_trace_dfs: iterative engine loop
+        #   (trace equivalence vs the pure-python oracle is pinned in
+        #   tests/test_simple_crawler.py's grid)
+        # - minhash_near_dup / simhash_groups: numpy-hash-derived
+        #   signatures (property-tested in tests/test_textops.py)
     }

@@ -57,26 +57,44 @@ class SimulatedFetcher:
         # once (the round write) and reads it back column-pruned.
         # The returned frame drops ``html`` (the raw body stays in
         # pages; nothing downstream needs it).
+        #
+        # Transient failures (engine retry path): an optional
+        # ``flaky_fails`` int column on pages marks urls whose first N
+        # fetch attempts 503; the batch's ``attempt`` column (prior
+        # failures, from FrontierStore.queued) decides the outcome.
+        flaky = "flaky_fails" in self.pages.columns
+        page_cols = ["warc_ts", "html"] + (["flaky_fails"] if flaky else [])
         pages = self.pages.select(
-            F.col("url").alias("__p_url"), "warc_ts", "html"
+            F.col("url").alias("__p_url"), *page_cols
         )
         hits_raw = pages.join(
             F.broadcast(batch), F.col("__p_url") == batch["url"], "inner"
         ).drop("__p_url")
 
+        att = F.col("attempt") if "attempt" in batch.columns else F.lit(0)
+        if flaky:
+            status = F.when(
+                F.coalesce(F.col("flaky_fails"), F.lit(0)) > att, F.lit(503)
+            ).otherwise(F.lit(200))
+        else:
+            status = F.lit(200)
+        ok = status == 200
         ext = register_extract_udf()
         hits = (
-            hits_raw.withColumn("e", ext("html"))
-            .withColumn("status", F.lit(200))
-            .withColumn("n_bytes", F.octet_length("html").cast("long"))
-            .withColumn("text", F.col("e.text"))
-            .withColumn("links", F.col("e.links"))
-            .withColumn("error", F.lit(None).cast("string"))
-            .drop("e", "html")
+            hits_raw.withColumn("e", ext(F.when(ok, F.col("html"))))
+            .withColumn("status", status)
+            .withColumn("n_bytes", F.when(ok, F.octet_length("html")).otherwise(0).cast("long"))
+            .withColumn("text", F.when(ok, F.col("e.text")))
+            .withColumn("links", F.when(ok, F.col("e.links")).otherwise(F.array().cast("array<string>")))
+            .withColumn("error", F.when(ok, F.lit(None).cast("string")).otherwise(F.lit("transient_503")))
+            .drop("e", "html", *(["flaky_fails"] if flaky else []))
         )
+        # IDENTICAL broadcast subtree to the hits join above -> Spark
+        # reuses the built broadcast (ReusedExchange): one driver-side
+        # collect+build per round instead of two (broadcast builds are
+        # serial driver time — the N->4N efficiency term).
         found = self.pages.select(F.col("url").alias("__f_url")).join(
-            F.broadcast(batch.select(F.col("url").alias("__f_url"))),
-            "__f_url", "left_semi",
+            F.broadcast(batch), F.col("__f_url") == batch["url"], "left_semi",
         )
         misses = (
             batch.join(

@@ -118,61 +118,50 @@ def exact_ranked_topk(df: DataFrame, keys, k: int, partitions: int | None = None
     ORDER BY + LIMIT k plans as TakeOrderedAndProject: fine for small
     k, but its driver-side merge of per-partition heaps (and the
     single-partition row_number window for the rank) serializes at
-    k ~ 10^5-10^7 — the crawl-scale budgets. This is the classic
-    parallel top-k instead:
+    k ~ 10^5-10^7 — the crawl-scale budgets (measured: an 80k budget
+    over 32 partitions made the driver merge 2.5M rows and blew a
+    round's dequeue to 30+ s). This is the classic parallel top-k,
+    kept ENTIRELY JVM-side:
 
       1. range-partition by the sort keys (order-preserving across
          partition ids) + sort within partitions,
-      2. per-partition counts -> driver prefix sums (P integers),
-      3. mapInPandas assigns rank = partition offset + local index,
-         filtering rows past k.
+      2. assign ``monotonically_increasing_id`` AFTER the sort — it is
+         partitionId<<33 | local-row-index, so it encodes the exact
+         per-partition order without any window or Python hop,
+      3. per-partition counts -> driver prefix sums (P integers, the
+         only driver data),
+      4. rank = offset[pid] + local index via a literal-map lookup;
+         filter rank < k.
 
     Exact and deterministic for a total-order key (ours ends in the
-    unique seq). Three parallel jobs, zero driver merges.
+    unique seq). Two jobs (count materializes the cached sort, final
+    pass reads it back), no driver merges, no python workers.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     s = (
         df.repartitionByRange(p, *keys)
         .sortWithinPartitions(*keys)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .persist()
     )
-    counts = dict(
-        (r["__pid"], r["cnt"])
-        for r in s.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
-    )
-    offsets = {}
+    pid = F.shiftright(F.col("__mid"), 33).cast("int")
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in s.groupBy(pid.alias("pid")).agg(F.count("*").alias("cnt")).collect()
+    }
     acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    out_schema = T.StructType(
-        [f for f in s.schema.fields if f.name != "__pid"]
-        + [T.StructField("fetch_rank", T.LongType())]
-    )
-    cols = [f.name for f in s.schema.fields if f.name != "__pid"]
-
-    def assign(batches):
-        local = {}
-        for b in batches:
-            if len(b) == 0:
-                continue
-            pid = int(b["__pid"].iloc[0])
-            start = offsets.get(pid, 0) + local.get(pid, 0)
-            local[pid] = local.get(pid, 0) + len(b)
-            ranks = pd.RangeIndex(start, start + len(b)).to_numpy()
-            keep = ranks < k
-            if keep.any():
-                out = b.loc[keep, cols].copy()
-                out["fetch_rank"] = ranks[keep]
-                yield out
-
-    result = s.mapInPandas(assign, schema=out_schema)
+    pairs = []
+    for i in sorted(counts):
+        pairs.extend([F.lit(int(i)), F.lit(acc)])
+        acc += counts[i]
+    offmap = F.create_map(*pairs) if pairs else F.create_map()
+    rank = (
+        F.coalesce(F.element_at(offmap, pid), F.lit(0))
+        + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    ).alias("fetch_rank")
+    out_cols = [f.name for f in s.schema.fields if f.name != "__mid"]
+    result = s.select(*out_cols, rank).filter(F.col("fetch_rank") < k)
     # caller materializes once; the persist above backs both the counts
     # job and the final pass (unpersisted lazily by Spark's LRU).
     return result
@@ -185,7 +174,7 @@ def dequeue(
     per_round_budget: int = 1000,
     per_host_budget: int = 10,
     round_seconds: float = 1.0,
-    parallel_topk_threshold: int = 2_000_000,
+    parallel_topk_threshold: int = 50_000,
 ) -> DataFrame:
     """O3: the politeness-budgeted top-k. Returns the fetch batch with
     ``fetch_rank`` (0-based fetch order within the round).
@@ -214,20 +203,23 @@ def dequeue(
         survivors.withColumn("rn2", F.row_number().over(w2))
         .filter(F.col("rn2") <= F.col("cap"))
     )
+    out_cols = FRONTIER_COLS + (
+        ["attempt"] if "attempt" in queued.columns else []
+    )
     if per_round_budget >= parallel_topk_threshold:
         # crawl-scale budgets: parallel exact top-k + rank (no driver
         # heap merge, no single-partition rank window).
         batch = exact_ranked_topk(
-            capped.select(*FRONTIER_COLS), keys, per_round_budget
+            capped.select(*out_cols), keys, per_round_budget
         )
-        return batch.select(*FRONTIER_COLS, "fetch_rank")
+        return batch.select(*out_cols, "fetch_rank")
     # small budgets: TakeOrderedAndProject (one job), rank over the
     # ≤budget-row batch in a single small partition.
     batch = capped.orderBy(*keys).limit(per_round_budget)
     batch = batch.withColumn(
         "fetch_rank", (F.row_number().over(Window.orderBy(*keys)) - 1).cast("long")
     )
-    return batch.select(*FRONTIER_COLS, "fetch_rank")
+    return batch.select(*out_cols, "fetch_rank")
 
 
 def dedup_discoveries(discoveries: DataFrame) -> DataFrame:
@@ -241,17 +233,40 @@ def dedup_discoveries(discoveries: DataFrame) -> DataFrame:
     )
 
 
+def _anti_join_existing(d: DataFrame, existing: DataFrame) -> DataFrame:
+    """candidates ANTI JOIN identity rows. The ONLY equi key is
+    url_hash — the bucket key of the frontier_index table — so the
+    bucketed side is read WITHOUT an Exchange (Spark co-partitions the
+    small candidate side to the bucket count). The url check rides
+    along as a non-equi condition (<= AND >=) rather than a second
+    equi key: as an equi key it would force hash-partitioning both
+    sides by (url_hash, url), re-shuffling the whole frontier. The
+    guard keeps an xxhash64 collision from ever dropping a distinct
+    url (expected ~2.7 collisions at 10^10 urls)."""
+    e = existing.select(
+        F.col("url_hash").alias("__e_hash"), F.col("url").alias("__e_url")
+    )
+    return d.join(
+        e,
+        (d["url_hash"] == F.col("__e_hash"))
+        & (F.col("__e_url") <= d["url"])
+        & (F.col("__e_url") >= d["url"]),
+        "left_anti",
+    )
+
+
 def new_frontier_rows(
     discoveries: DataFrame,
-    frontier_all: DataFrame,
+    existing: DataFrame,
     robots_df: DataFrame,
     round_: int,
     seen_filter=None,
 ) -> DataFrame:
     """O2 merge: discoveries (url, host, depth, fetch_rank, pos) ->
-    FRONTIER rows not already present. Anti-join keys on url_hash (the
-    shuffle key — 8 bytes, co-partitionable) with an url equality guard
-    so xxhash64 collisions can never drop a distinct url.
+    FRONTIER rows not already present. ``existing`` is the identity-row
+    set (FrontierStore.identity_rows(): the bucketed frontier_index at
+    scale). Anti-join keys on url_hash (the bucket key — 8 bytes) with
+    an url guard so xxhash64 collisions can never drop a distinct url.
 
     With a ``seen_filter`` (pompspark.seen.SeenFilter), bloom-miss rows
     ("definitely new" — blooms have no false negatives) BYPASS the
@@ -263,25 +278,14 @@ def new_frontier_rows(
     pomp analog: put_requests after middleware dedup (None -> drop)."""
     d = dedup_discoveries(discoveries)
     d = d.withColumn("url_hash", F.xxhash64("url"))
-    existing = frontier_all.select("url_hash", F.col("url").alias("__e_url"))
     if seen_filter is not None:
         d = seen_filter.maybe_seen_col(d, "url_hash")
         definitely_new = d.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = d.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = maybe.join(
-            existing,
-            (maybe["url_hash"] == existing["url_hash"])
-            & (maybe["url"] == existing["__e_url"]),
-            "left_anti",
-        )
+        survivors = _anti_join_existing(maybe, existing)
         fresh = definitely_new.unionByName(survivors)
     else:
-        fresh = d.join(
-            existing,
-            (d["url_hash"] == existing["url_hash"])
-            & (d["url"] == existing["__e_url"]),
-            "left_anti",
-        )
+        fresh = _anti_join_existing(d, existing)
     fresh = with_robots(fresh, robots_df)
     # pos-field width guard: a page with >= 2^21 outlinks would make
     # seq collide with the next rank — raise instead of silently
@@ -319,11 +323,23 @@ class FrontierStore:
     Tables: ``frontier`` (discovery rows, partitioned by state),
     ``frontier_state`` (slim per-round transition rows). ``queued()``
     = frontier[state=queued] ANTI JOIN transitions. ``compact()``
-    folds transitions in (every K rounds from the engine)."""
+    folds transitions in (every K rounds from the engine).
 
-    STATE_SCHEMA = "url_hash long, url string, state string, round int"
+    Merge-dedup index (10^10-scale path): ``frontier_index`` is a
+    Spark-catalog BUCKETED parquet table of the frontier's identity
+    rows (url_hash, url), CLUSTERED BY url_hash — the Iceberg
+    bucket-partition-transform analog. The merge anti-join reads it
+    bucket-aligned, so the frontier side needs NO Exchange per round
+    (only the O(batch) discoveries shuffle to the bucket count);
+    without it every round re-shuffled the entire frontier
+    (tests/test_plan_shapes.py pins the no-frontier-Exchange property).
+    The index is derived state: rebuilt from the frontier table on
+    resume/rollback or whenever the version marker mismatches."""
 
-    def __init__(self, cat: Catalog):
+    STATE_SCHEMA = "url_hash long, url string, state string, round int, attempt int"
+
+    def __init__(self, cat: Catalog, index_buckets: int = 32,
+                 use_index: bool = True):
         self.cat = cat
         from pyspark.sql import types as T
 
@@ -332,55 +348,205 @@ class FrontierStore:
             T.StructField("url", T.StringType()),
             T.StructField("state", T.StringType()),
             T.StructField("round", T.IntegerType()),
+            T.StructField("attempt", T.IntegerType()),
         ])
         cat.create("frontier", schemas.FRONTIER)
         cat.create("frontier_state", self._state_schema)
+        self.use_index = use_index
+        self.index_buckets = index_buckets
+        if use_index:
+            import hashlib
+            import os
+
+            tag = hashlib.md5(cat.root.encode()).hexdigest()[:12]
+            self._index_name = f"frontier_index_{tag}"
+            self._index_loc = os.path.join(cat.root, "frontier_index")
+            self._marker = os.path.join(cat.root, "frontier_index_version")
+            self._ensure_index()
 
     def all_rows(self) -> DataFrame:
         return self.cat.read("frontier")
 
-    def queued(self) -> DataFrame:
+    # ------------------------------------------------------- identity index
+    def _bucket_write(self, df: DataFrame, overwrite: bool) -> None:
+        w = (
+            df.select("url_hash", "url")
+            .write.format("parquet")
+            .bucketBy(self.index_buckets, "url_hash")
+            .sortBy("url_hash")
+        )
+        if overwrite:
+            w.mode("overwrite").option("path", self._index_loc).saveAsTable(
+                self._index_name
+            )
+        else:
+            w.mode("append").saveAsTable(self._index_name)
+
+    def _write_marker(self) -> None:
+        with open(self._marker, "w") as f:
+            f.write(str(self.cat.current_version("frontier")))
+
+    def _read_marker(self) -> int:
+        import os
+
+        if not os.path.exists(self._marker):
+            return -1
+        with open(self._marker) as f:
+            return int(f.read().strip() or -1)
+
+    def _ensure_index(self) -> None:
+        spark = self.cat.spark
+        if not spark.catalog.tableExists(self._index_name):
+            import os
+
+            if os.path.isdir(self._index_loc):
+                # new session over an existing workdir: re-register the
+                # external table (files carry bucket ids in their names)
+                spark.sql(
+                    f"CREATE TABLE {self._index_name} "
+                    f"(url_hash BIGINT, url STRING) USING PARQUET "
+                    f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+                    f"INTO {self.index_buckets} BUCKETS "
+                    f"LOCATION '{self._index_loc}'"
+                )
+            else:
+                self._bucket_write(
+                    spark.createDataFrame([], "url_hash long, url string"),
+                    overwrite=True,
+                )
+                self._write_marker()
+        if self._read_marker() != self.cat.current_version("frontier"):
+            self.index_rebuild()
+
+    def index_rebuild(self) -> None:
+        """Rebuild the bucketed index from the frontier table (the
+        source of truth) — used after rollback/resume, where the index
+        may be a superset of the rolled-back frontier."""
+        self._bucket_write(
+            self.cat.read("frontier").select("url_hash", "url"),
+            overwrite=True,
+        )
+        self._write_marker()
+
+    def index_append(self, df: DataFrame) -> None:
+        self._bucket_write(df, overwrite=False)
+        self._write_marker()
+
+    def identity_rows(self) -> DataFrame:
+        """(url_hash, url) of every url ever admitted — the merge
+        anti-join's right side. Bucketed table when enabled (scan
+        without Exchange), else a pruned frontier read."""
+        if self.use_index:
+            return self.cat.spark.table(self._index_name)
+        return self.cat.read("frontier").select("url_hash", "url")
+
+    # state-transition rows are broadcast into the dequeue anti-join up
+    # to this size; beyond it Spark falls back to a shuffle join and
+    # compaction should be folding transitions in anyway. The row count
+    # comes from parquet footers (no job).
+    BROADCAST_STATE_ROWS = 4_000_000
+
+    def queued(self, current_round: int | None = None,
+               retry_delay_rounds: int = 1) -> DataFrame:
+        """Rows eligible for dequeue: frontier[state=queued] minus
+        transitioned urls — except urls whose LATEST transition is
+        'retry' (transient fetch failure below max_retries) and whose
+        cool-down has elapsed; those re-enter with their ORIGINAL
+        (priority, depth, seq) plus an ``attempt`` column (prior failed
+        attempts) for the fetcher. Always emits ``attempt``."""
         f = self.cat.read("frontier").filter(F.col("state") == "queued")
-        s = self.cat.read("frontier_state").select("url_hash", F.col("url").alias("__s_url"))
-        return f.join(
-            s,
-            (f["url_hash"] == s["url_hash"]) & (f["url"] == s["__s_url"]),
-            "left_anti",
+        t = self.cat.read("frontier_state")
+        small = self.cat.row_count("frontier_state") <= self.BROADCAST_STATE_ROWS
+        agg = t.groupBy(
+            F.col("url_hash").alias("__s_hash"), F.col("url").alias("__s_url")
+        ).agg(
+            F.max_by("state", "round").alias("__last_state"),
+            F.max("round").alias("__last_round"),
+            F.sum(F.when(F.col("state") == "retry", 1).otherwise(0))
+            .cast("int").alias("__n_retry"),
+        )
+        if small:
+            # keep the full frontier un-shuffled: transitions between
+            # compactions are O(rounds x budget), broadcastable — the
+            # alternative SMJ shuffles the WHOLE frontier every dequeue
+            # (measured 8x round-time blowup once stats pushed Spark
+            # off the broadcast plan).
+            agg = F.broadcast(agg)
+        joined = f.join(
+            agg,
+            (f["url_hash"] == F.col("__s_hash")) & (f["url"] == F.col("__s_url")),
+            "left",
+        )
+        retry_ok = (F.col("__last_state") == "retry")
+        if current_round is not None:
+            retry_ok = retry_ok & (
+                F.lit(current_round) - F.col("__last_round")
+                >= F.lit(retry_delay_rounds)
+            )
+        eligible = F.col("__last_state").isNull() | retry_ok
+        return (
+            joined.filter(eligible)
+            .withColumn("attempt", F.coalesce(F.col("__n_retry"), F.lit(0)))
+            .select(*FRONTIER_COLS, "attempt")
         )
 
-    def append(self, rows: DataFrame) -> int:
-        return self.cat.append("frontier", rows, partition_by=["state"])
+    def append(self, rows: DataFrame) -> str:
+        """Append discovery rows; returns the committed data dir so the
+        caller can count rows from footers / re-read column-pruned
+        without another action."""
+        import os
+
+        v = self.cat.append("frontier", rows, partition_by=["state"])
+        return os.path.join(self.cat._tdir("frontier"), f"data/d-{v:08d}")
 
     def mark(self, batch: DataFrame, state_col, round_: int) -> int:
         """Record state transitions for a fetched batch (url_hash, url)."""
+        att = (
+            F.col("attempt") if "attempt" in batch.columns else F.lit(0)
+        ).cast("int")
         upd = batch.select(
             "url_hash", "url", state_col.alias("state"),
-            F.lit(round_).alias("round"),
+            F.lit(round_).alias("round"), att.alias("attempt"),
         )
         return self.cat.append("frontier_state", upd)
 
     def compact(self) -> None:
+        """Fold TERMINAL transitions (fetched/error/dropped) into the
+        frontier rows; transitions of urls whose latest state is
+        'retry' must survive compaction — queued() needs their last
+        round (cool-down) and retry count (attempt number)."""
         f = self.cat.read("frontier")
-        s = (
-            self.cat.read("frontier_state")
-            .select(
-                F.col("url_hash").alias("__s_hash"),
-                F.col("url").alias("__s_url"),
-                F.col("state").alias("__new_state"),
-            )
-            .dropDuplicates(["__s_hash", "__s_url"])
-        )
+        t = self.cat.read("frontier_state")
+        latest = t.groupBy(
+            F.col("url_hash").alias("__s_hash"), F.col("url").alias("__s_url")
+        ).agg(F.max_by("state", "round").alias("__new_state"))
+        terminal = latest.filter(F.col("__new_state") != "retry")
         folded = (
             f.join(
-                s,
-                (f["url_hash"] == s["__s_hash"]) & (f["url"] == s["__s_url"]),
+                terminal,
+                (f["url_hash"] == F.col("__s_hash"))
+                & (f["url"] == F.col("__s_url")),
                 "left",
             )
             .withColumn("state", F.coalesce("__new_state", "state"))
             .select(*FRONTIER_COLS)
         )
-        self.cat.overwrite("frontier", folded, partition_by=["state"])
-        self.cat.overwrite(
-            "frontier_state",
-            self.cat.spark.createDataFrame([], self._state_schema),
+        retrying = latest.filter(F.col("__new_state") == "retry").select(
+            "__s_hash", "__s_url"
         )
+        kept = t.join(
+            retrying,
+            (t["url_hash"] == F.col("__s_hash")) & (t["url"] == F.col("__s_url")),
+            "left_semi",
+        )
+        kept = kept.persist()
+        kept.count()  # materialize before overwriting its source table
+        self.cat.overwrite("frontier", folded, partition_by=["state"])
+        self.cat.overwrite("frontier_state", kept.select(*[
+            fld.name for fld in self._state_schema.fields
+        ]))
+        kept.unpersist()
+        if self.use_index:
+            # identity set unchanged by compaction; just re-pin the
+            # marker to the new frontier version.
+            self._write_marker()

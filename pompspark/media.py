@@ -123,17 +123,28 @@ def sample_frames(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized: np.repeat the batch rows by each row's sample
+        # count, frame indices by arange arithmetic — no per-row python
+        # loop (round-1 advice flagged the old iterrows walk).
         for b in batches:
-            rows = []
-            for _, row in b.iterrows():
-                payload = row[payload_col]
-                n_frames = (payload[0] if payload is not None and len(payload) else 0) + 1
-                for fi in range(0, n_frames, every_n):
-                    r = row.to_dict()
-                    r["frame_idx"] = fi
-                    r["frame"] = bytes(payload[:8]) if payload is not None else None
-                    rows.append(r)
-            if rows:
-                yield pd.DataFrame(rows)
+            if len(b) == 0:
+                continue
+            payloads = b[payload_col]
+            n_frames = payloads.map(
+                lambda p: (p[0] if p is not None and len(p) else 0) + 1
+            ).to_numpy()
+            n_samples = (n_frames + every_n - 1) // every_n  # per input row
+            if n_samples.sum() == 0:
+                continue
+            out = b.iloc[np.repeat(np.arange(len(b)), n_samples)].reset_index(drop=True)
+            # frame_idx = (position within each row's run) * every_n
+            ends = np.cumsum(n_samples)
+            starts = ends - n_samples
+            within = np.arange(ends[-1]) - np.repeat(starts, n_samples)
+            out["frame_idx"] = (within * every_n).astype(np.int32)
+            out["frame"] = out[payload_col].map(
+                lambda p: bytes(p[:8]) if p is not None else None
+            )
+            yield out
 
     return df.mapInPandas(gen, schema=out_schema)

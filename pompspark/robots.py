@@ -107,6 +107,38 @@ def build_robots_cache(robots_df):
     )
 
 
+def refresh_robots_cache(robots_df, transport, now, ttl_s: float = 86400.0):
+    """TTL expiry + refetch: rows older than ``now - ttl_s`` are
+    re-fetched through ``transport(hosts: pd.Series) -> pd.DataFrame
+    [host, robots_txt, fetched_ts]`` (injectable — no network in this
+    sandbox; a real cluster passes an HTTP pool), re-parsed, and merged
+    over the stale rows. Fresh rows pass through untouched. Returns the
+    updated ROBOTS_CACHE-shaped DataFrame.
+
+    Without this a long crawl serves stale rules forever; RFC 9309
+    suggests caching up to 24h (the default ttl)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    cutoff = now - _dt.timedelta(seconds=ttl_s)
+    fresh = robots_df.filter(
+        F.col("fetched_ts").isNull() | (F.col("fetched_ts") >= F.lit(cutoff))
+    )
+    stale = robots_df.filter(
+        F.col("fetched_ts").isNotNull() & (F.col("fetched_ts") < F.lit(cutoff))
+    )
+    stale_hosts = [r.host for r in stale.select("host").collect()]
+    if not stale_hosts:
+        return robots_df
+    refetched = transport(pd.Series(stale_hosts))
+    spark = robots_df.sparkSession
+    raw = spark.createDataFrame(
+        refetched[["host", "robots_txt", "fetched_ts"]]
+    )
+    return fresh.unionByName(build_robots_cache(raw))
+
+
 # ------------------------------------------------------------- enforcement
 
 def path_col(url_col):

@@ -166,6 +166,31 @@ class Cuckoo:
                 failed += 1
         return failed
 
+    def insert_fp(self, b: int, fp: int) -> bool:
+        """Insert a known (bucket, fingerprint) slot — used when merging
+        two cuckoo shards (keys are not recoverable from a filter, but
+        (bucket, fp) fully determines both candidate buckets)."""
+        i2 = int(self._i2(np.array([b]), np.array([np.uint16(fp)]))[0])
+        for cand in (int(b), i2):
+            row = self.table[cand]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                self.table[cand, empty[0]] = fp
+                return True
+        rng_state = 0x9E3779B9
+        cur_b, f = int(b), int(fp)
+        for _ in range(self.MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % self.SLOTS
+            f, self.table[cur_b, slot] = int(self.table[cur_b, slot]), f
+            cur_b = int(self._i2(np.array([cur_b]), np.array([np.uint16(f)]))[0])
+            row = self.table[cur_b]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                self.table[cur_b, empty[0]] = f
+                return True
+        return False
+
     def contains(self, keys: np.ndarray) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.int64)
         if len(keys) == 0:
@@ -205,20 +230,49 @@ class Cuckoo:
 
 # ------------------------------------------------------------ Spark surface
 
+
+def _blob_contains(kind: str, nbits: int, nhashes: int, blob: bytes,
+                   keys: np.ndarray) -> np.ndarray:
+    if kind == "bloom":
+        return Bloom.from_bytes(nbits, nhashes, blob).contains(keys)
+    return Cuckoo.from_bytes(nbits // (Cuckoo.SLOTS * 16), blob).contains(keys)
+
+
 class SeenFilter:
-    """Sharded seen-set over a Catalog ``seen`` table.
+    """Sharded seen-set over a Catalog ``seen`` table — NOTHING here
+    ever collects blobs to the driver on the write path.
 
-    build/update: groupBy(shard).applyInPandas — each task folds its
-    shard's new keys into the shard blob (or creates it). No driver
-    bottleneck; shard count scales with cluster size.
+    Layout: the ``seen`` table holds per-shard DELTA blobs, one per
+    ``add()`` call per touched shard, all sized identically
+    (bloom_params(capacity_per_shard, fp_rate)) so membership is the
+    OR over a shard's deltas and compaction is a bitwise-OR reduce.
 
-    prefilter: mapInPandas over the candidate stream with the shard
-    blobs broadcast (practical up to ~100s of MB; beyond that switch
-    to a shard-join — same table layout, cogroup on shard).
+    - ``add()``: groupBy(shard).applyInPandas folds the NEW keys into
+      fresh delta blobs and APPENDS them — the existing table is never
+      read, nothing visits the driver (round-1 advice: the old path
+      collected every blob per round -> driver OOM at 10^10 keys).
+    - membership: two exact-equivalent paths behind ``maybe_seen_col``:
+      a broadcast path while the table is small (blobs OR-merged per
+      shard on the driver once, then probed in a pandas UDF), and a
+      SHARD-JOIN path (cogroup candidates x shard rows, probe inside
+      applyInPandas) once the table outgrows broadcast — at 10^10 keys
+      (~12.5 GB of bloom bits over n_shards) only the join path runs,
+      and each task sees one shard's blobs only.
+    - ``compact()``: per-shard OR-reduce (applyInPandas) -> overwrite;
+      call every K rounds (the engine piggybacks it on frontier
+      compaction) to bound delta counts.
+
+    False positives are harmless by design (SURVEY §7.4): the caller
+    treats ``maybe_seen`` rows with an exact anti-join; bloom misses
+    ("definitely new") bypass it. Deletion (cuckoo) exists at the
+    data-structure level for user middleware parity, but the ENGINE
+    never deletes: retry re-queueing keeps a url's discovered-identity,
+    so the merge must keep suppressing re-discoveries of it.
     """
 
     def __init__(self, cat, n_shards: int = 16, capacity_per_shard: int = 1_000_000,
-                 fp_rate: float = 0.01, kind: str = "bloom"):
+                 fp_rate: float = 0.01, kind: str = "bloom",
+                 broadcast_bytes_max: int = 128 << 20):
         from pompspark import schemas
 
         self.cat = cat
@@ -226,21 +280,19 @@ class SeenFilter:
         self.capacity = capacity_per_shard
         self.fp_rate = fp_rate
         self.kind = kind
+        self.broadcast_bytes_max = broadcast_bytes_max
         cat.create("seen", schemas.SEEN)
 
     # -------------------------------------------------------------- update
     def add(self, df, hash_col: str = "url_hash") -> None:
-        """Fold new keys into the shard blobs (one applyInPandas pass),
-        then overwrite the seen table with the merged shards."""
+        """Append per-shard delta blobs built from the new keys only.
+        One applyInPandas pass; the write is the materialization."""
         from pyspark.sql import functions as F
 
-        spark = self.cat.spark
-        existing = {r.shard: r for r in self.cat.read("seen").collect()}
+        from pompspark import schemas
+
         nbits, k = bloom_params(self.capacity, self.fp_rate)
-        n_shards, capacity, kind = self.n_shards, self.capacity, self.kind
-        bexisting = spark.sparkContext.broadcast(
-            {s: bytes(r.filter) for s, r in existing.items()}
-        )
+        capacity, kind = self.capacity, self.kind
 
         keyed = df.select(
             F.col(hash_col).alias("key"),
@@ -250,15 +302,12 @@ class SeenFilter:
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             keys = pdf["key"].to_numpy(dtype=np.int64)
-            blob = bexisting.value.get(shard)
             if kind == "bloom":
-                f = Bloom.from_bytes(nbits, k, blob) if blob else Bloom(nbits, k)
+                f = Bloom(nbits, k)
                 f.add(keys)
                 payload, nb, nh = f.to_bytes(), nbits, k
             else:
                 c = Cuckoo.sized(capacity)
-                if blob:
-                    c = Cuckoo.from_bytes(c.n_buckets, blob)
                 c.insert(keys)
                 payload, nb, nh = c.to_bytes(), c.n_buckets * Cuckoo.SLOTS * 16, 2
             return pd.DataFrame({
@@ -266,32 +315,100 @@ class SeenFilter:
                 "nhashes": [nh], "filter": [payload],
             })
 
+        delta = keyed.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN)
+        self.cat.append("seen", delta)
+
+    def compact(self) -> None:
+        """Per-shard merge of delta blobs (bitwise OR for uniform
+        blooms; slot re-insertion for cuckoos) -> overwrite. Executor-
+        side; the driver only commits the manifest."""
         from pompspark import schemas
 
-        updated = keyed.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN)
-        updated = updated.persist()
-        updated.count()  # materialize the fold once
-        untouched = self.cat.read("seen").join(
-            updated.select("shard"), "shard", "left_anti"
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            kinds = pdf["kind"].tolist()
+            if all(kd == "bloom" for kd in kinds):
+                nb = int(pdf["nbits"].iloc[0])
+                nh = int(pdf["nhashes"].iloc[0])
+                acc = Bloom(nb, nh)
+                for blob in pdf["filter"]:
+                    acc = acc.merge(Bloom.from_bytes(nb, nh, bytes(blob)))
+                payload = acc.to_bytes()
+                return pd.DataFrame({
+                    "shard": [shard], "kind": ["bloom"], "nbits": [nb],
+                    "nhashes": [nh], "filter": [payload],
+                })
+            # cuckoo: re-insert every occupied (bucket, fp) slot into
+            # one table (alt bucket is derivable from (bucket, fp)).
+            nb = int(pdf["nbits"].iloc[0])
+            acc = Cuckoo.from_bytes(nb // (Cuckoo.SLOTS * 16), bytes(pdf["filter"].iloc[0]))
+            for blob in pdf["filter"].iloc[1:]:
+                src = Cuckoo.from_bytes(nb // (Cuckoo.SLOTS * 16), bytes(blob))
+                bs, ss = np.nonzero(src.table)
+                for b_, s_ in zip(bs, ss):
+                    acc.insert_fp(int(b_), int(src.table[b_, s_]))
+            return pd.DataFrame({
+                "shard": [shard], "kind": ["cuckoo"], "nbits": [nb],
+                "nhashes": [2], "filter": [acc.to_bytes()],
+            })
+
+        merged = self.cat.read("seen").groupBy("shard").applyInPandas(
+            merge, schema=schemas.SEEN
         )
-        self.cat.overwrite("seen", updated.unionByName(untouched))
-        updated.unpersist()
+        self.cat.overwrite("seen", merged)
 
     # ------------------------------------------------------------ prefilter
+    def table_bytes(self) -> int:
+        """On-disk size of the seen table (driver fs metadata only)."""
+        import glob as _glob
+        import os as _os
+
+        v = self.cat.current_version("seen")
+        snap = self.cat._read_snapshot("seen", v)
+        total = 0
+        for d in snap["dirs"]:
+            base = _os.path.join(self.cat._tdir("seen"), d)
+            for f in _glob.glob(_os.path.join(base, "**", "*.parquet"), recursive=True):
+                total += _os.path.getsize(f)
+        return total
+
     def maybe_seen_col(self, df, hash_col: str = "url_hash"):
-        """Adds ``maybe_seen`` boolean via broadcast shard blobs. False
-        = DEFINITELY new (bloom has no false negatives) -> the caller
-        may skip the exact anti-join for those rows."""
+        """Adds ``maybe_seen`` boolean. False = DEFINITELY new (bloom
+        has no false negatives) -> the caller may skip the exact
+        anti-join for those rows. Auto-selects broadcast vs shard-join
+        by on-disk table size."""
+        from pyspark.sql import functions as F
+
+        if self.table_bytes() <= self.broadcast_bytes_max:
+            return self._maybe_seen_broadcast(df, hash_col)
+        return self.maybe_seen_join(df, hash_col)
+
+    def _maybe_seen_broadcast(self, df, hash_col: str):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         rows = self.cat.read("seen").collect()
-        blobs = {r.shard: (r.kind, int(r.nbits), int(r.nhashes), bytes(r.filter))
-                 for r in rows}
-        if not blobs:
+        blobs: dict[int, list] = {}
+        for r in rows:
+            blobs.setdefault(r.shard, []).append(
+                (r.kind, int(r.nbits), int(r.nhashes), bytes(r.filter))
+            )
+        # OR-merge uniform blooms per shard once, driver-side (bounded
+        # by broadcast_bytes_max); heterogenous lists stay as lists.
+        merged: dict[int, list] = {}
+        for s, lst in blobs.items():
+            if all(e[0] == "bloom" for e in lst) and len({e[1] for e in lst}) == 1:
+                nb, nh = lst[0][1], lst[0][2]
+                bits = np.zeros(nb // 8, dtype=np.uint8)
+                for _, _, _, blob in lst:
+                    bits |= np.frombuffer(blob, dtype=np.uint8)
+                merged[s] = [("bloom", nb, nh, bits.tobytes())]
+            else:
+                merged[s] = lst
+        if not merged:
             return df.withColumn("maybe_seen", F.lit(False))
-        b = self.cat.spark.sparkContext.broadcast(blobs)
-        n_shards, capacity = self.n_shards, self.capacity
+        b = self.cat.spark.sparkContext.broadcast(merged)
+        n_shards = self.n_shards
 
         @F.pandas_udf(T.BooleanType())
         def member(keys: pd.Series) -> pd.Series:
@@ -299,16 +416,55 @@ class SeenFilter:
             shards = (ks % n_shards + n_shards) % n_shards
             out = np.zeros(len(ks), dtype=bool)
             for s in np.unique(shards):
-                ent = b.value.get(int(s))
-                mask = shards == s
-                if ent is None:
+                lst = b.value.get(int(s))
+                if not lst:
                     continue
-                kind, nb, nh, blob = ent
-                if kind == "bloom":
-                    f = Bloom.from_bytes(nb, nh, blob)
-                else:
-                    f = Cuckoo.from_bytes(nb // (Cuckoo.SLOTS * 16), blob)
-                out[mask] = f.contains(ks[mask])
+                mask = shards == s
+                sub = ks[mask]
+                hit = np.zeros(len(sub), dtype=bool)
+                for kind, nb, nh, blob in lst:
+                    hit |= _blob_contains(kind, nb, nh, blob, sub)
+                out[mask] = hit
             return pd.Series(out, index=keys.index)
 
         return df.withColumn("maybe_seen", member(F.col(hash_col)))
+
+    def maybe_seen_join(self, df, hash_col: str = "url_hash"):
+        """Shard-join membership: candidates cogrouped with their
+        shard's blob rows; each task probes one shard's blobs. Scales
+        to blob totals far beyond broadcast (10^10-key territory) —
+        the only driver involvement is the manifest read."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        keyed = df.withColumn(
+            "__shard",
+            F.pmod(F.col(hash_col), F.lit(self.n_shards)).cast("int"),
+        )
+        seen = self.cat.read("seen")
+        out_schema = T.StructType(
+            [f for f in keyed.schema.fields if f.name != "__shard"]
+            + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        cols = [f.name for f in keyed.schema.fields if f.name != "__shard"]
+        hcol = hash_col
+
+        def check(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame(columns=cols + ["maybe_seen"])
+            ks = left[hcol].to_numpy(dtype=np.int64)
+            hit = np.zeros(len(ks), dtype=bool)
+            for _, r in right.iterrows():  # few rows: one blob per add()
+                hit |= _blob_contains(
+                    r["kind"], int(r["nbits"]), int(r["nhashes"]),
+                    bytes(r["filter"]), ks,
+                )
+            out = left[cols].copy()
+            out["maybe_seen"] = hit
+            return out
+
+        return (
+            keyed.groupBy("__shard")
+            .cogroup(seen.groupBy("shard"))
+            .applyInPandas(check, schema=out_schema)
+        )

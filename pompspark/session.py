@@ -59,6 +59,15 @@ def build_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # never coalesce below the core count: AQE's size-targeted
+        # coalescing squeezed CPU-heavy post-shuffle stages (canonical-
+        # ization, merge joins) to ~14 tasks on 32 cores (measured) —
+        # "small bytes" is not "small work" when python UDF CPU
+        # dominates.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(n_shuffle),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

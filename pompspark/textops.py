@@ -126,11 +126,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding: signature ->
     ``bands`` slices -> groupBy (band, slice-hash) buckets -> pairs
     within a bucket (distinct). rows_per_band = num_hashes / bands.
-    Shuffle volume: (id, band_hash) pairs, never text."""
+    Shuffle volume: (id, band_hash) pairs, never text.
+
+    ``max_bucket_size`` caps the quadratic term: a degenerate bucket
+    (e.g. millions of empty/boilerplate texts sharing one band slice)
+    would emit |bucket|^2 pairs and sink the job at corpus scale, so
+    buckets above the cap are EXCLUDED from pairing (use
+    ``lsh_bucket_stats`` to see what was dropped — true all-identical
+    groups are cheaper to fold via exact_dedup first). None = uncapped."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
     minhash_udf, _ = register_text_udfs(num_hashes, shingle_n)
@@ -150,6 +158,14 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok, ["band", "bucket"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -163,6 +179,46 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Companion to minhash_lsh_candidates' bucket cap: per band, how
+    many buckets/rows exceed the cap (i.e. got dropped from pairing).
+    Coverage must never silently shrink — run this alongside."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    minhash_udf, _ = register_text_udfs(num_hashes, shingle_n)
+    sig = df.select(F.col(id_col).alias("id"), minhash_udf(text_col).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", b * rpb + i + 1).cast("string")
+                        for i in range(rpb)
+                    ])).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket_size, 1).otherwise(0)).alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket_size, F.col("n")).otherwise(0)).alias("n_dropped_rows"),
+        F.max("n").alias("max_bucket"),
+    )
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
@@ -307,6 +363,11 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({
         "q_n_chars": n_chars.cast("long"),
         "q_n_words": n_words.cast("long"),
+        # integral counters alongside the ratios: exact cross-engine
+        # comparisons (the driver's DuckDB oracle) need integer math
+        "q_n_stop": F.when(n_words > 0, n_stop).otherwise(0).cast("long"),
+        "q_n_punct": n_punct.cast("long"),
+        "q_n_alpha": n_alpha.cast("long"),
         "q_mean_word_len": F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0),
         "q_punct_ratio": F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0),
         "q_alpha_ratio": F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0),

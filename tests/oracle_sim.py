@@ -49,8 +49,10 @@ class Entry:
     depth: int
     priority: float
     seq: int
-    state: str  # queued | fetched | error | excluded
+    state: str  # queued | fetched | error | excluded | retry
     discovered_round: int = 0
+    attempts: int = 0       # failed fetch attempts so far
+    retry_round: int = 0    # round of the last transient failure
 
 
 @dataclass
@@ -70,6 +72,15 @@ class OracleCrawl:
     per_host_budget: int = 2
     round_seconds: float = 1.0
     robots: dict[str, dict] | None = None  # host -> {crawl_delay, disallow[]}
+    # transient-failure / retry contract (mirrors CrawlEngine):
+    # a url with flaky[url] = n fails its first n fetch attempts with a
+    # 503; after each failure, if attempts <= max_retries the entry
+    # parks as 'retry' and re-enters the queue (same priority/depth/
+    # seq) once current_round - retry_round >= retry_delay_rounds;
+    # otherwise it is terminal 'error'. 404s are always terminal.
+    flaky: dict[str, int] | None = None
+    max_retries: int = 0
+    retry_delay_rounds: int = 1
     max_rounds: int = 10_000
     entries: dict[str, Entry] = field(default_factory=dict)
     trace: list[TraceRow] = field(default_factory=list)
@@ -118,8 +129,16 @@ class OracleCrawl:
         rnd = 0
         while rnd < self.max_rounds:
             rnd += 1
-            queued = [e for e in self.entries.values() if e.state == "queued"]
+            queued = [
+                e for e in self.entries.values()
+                if e.state == "queued"
+                or (e.state == "retry"
+                    and rnd - e.retry_round >= self.retry_delay_rounds)
+            ]
             if not queued:
+                if any(e.state == "retry" for e in self.entries.values()):
+                    # only cooling-down retries left: idle round
+                    continue
                 break
             # per-host cap
             by_host: dict[str, list[Entry]] = {}
@@ -142,6 +161,16 @@ class OracleCrawl:
                     e.state = "error"
                     self.fetch_log.append({"url": e.url, "round": rnd,
                                            "status": 404, "n_links": 0})
+                    continue
+                if e.attempts < (self.flaky or {}).get(e.url, 0):
+                    e.attempts += 1
+                    if e.attempts <= self.max_retries:
+                        e.state = "retry"
+                        e.retry_round = rnd
+                    else:
+                        e.state = "error"
+                    self.fetch_log.append({"url": e.url, "round": rnd,
+                                           "status": 503, "n_links": 0})
                     continue
                 e.state = "fetched"
                 self.fetch_log.append({"url": e.url, "round": rnd,

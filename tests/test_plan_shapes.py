@@ -78,3 +78,64 @@ def test_frontier_state_partition_pruning(spark, tmp_path):
     eng.run_round()
     plan = _plan(eng.cat.read("frontier").filter(F.col("state") == "queued"))
     assert "PartitionFilters" in plan and "state" in plan.split("PartitionFilters")[-1].split("]")[0]
+
+
+def test_merge_anti_join_no_frontier_exchange(spark, tmp_path):
+    """The 10^10-scale property: the merge anti-join must read the
+    frontier identity set from the BUCKETED frontier_index without an
+    Exchange — only the O(batch) discovery side may shuffle. (Without
+    the index, every round re-shuffles the entire frontier.)"""
+    from pompspark import schemas
+    from pompspark.frontier import FrontierStore, new_frontier_rows
+    from pompspark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "idx"))
+    store = FrontierStore(cat, index_buckets=4)
+    rows = spark.range(0, 5000).selectExpr(
+        "concat('http://h', cast(id % 7 as string), '.example/p', cast(id as string)) as url",
+        "xxhash64(concat('http://h', cast(id % 7 as string), '.example/p', cast(id as string))) as url_hash",
+        "hash(concat('http://h', cast(id % 7 as string), '.example/p', cast(id as string))) as url_murmur3",
+        "concat('h', cast(id % 7 as string), '.example') as host",
+        "cast(0 as int) as depth", "cast(1.0 as double) as priority",
+        "cast(0 as int) as discovered_round", "cast(id as long) as seq",
+        "cast(id % 16 as int) as salt", "'queued' as state",
+    )
+    store.append(rows)
+    store.index_rebuild()
+
+    disc = spark.range(4000, 6000).selectExpr(
+        "concat('http://h', cast(id % 7 as string), '.example/p', cast(id as string)) as url",
+        "concat('h', cast(id % 7 as string), '.example') as host",
+        "cast(1 as int) as depth", "cast(0 as long) as fetch_rank",
+        "cast(id as int) as pos",
+    )
+    robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+    # force the non-broadcast join path so the bucketed-scan property
+    # is what's actually under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = new_frontier_rows(disc, store.identity_rows(), robots, 1)
+        plan = _plan(out)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # the frontier_index scan must be bucketed and feed the join with
+    # no Exchange between scan and join on that side
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    import re
+    scan_side = plan[plan.index("frontier_index"):] if "frontier_index" in plan else plan
+    # walk upward: between the bucketed scan and the join there must be
+    # no Exchange operator. Heuristic on the tree text: the subtree
+    # printed after the join's second child marker should not contain
+    # "Exchange" before the scan line.
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos >= 0, plan
+    # count Exchanges in the whole plan: exactly ONE (the discovery
+    # side); the frontier side contributes none.
+    n_exchange = len(re.findall(r"\bExchange hashpartitioning\(url_hash", plan))
+    assert n_exchange == 1, f"expected 1 url_hash exchange, got {n_exchange}:\n{plan}"
+    # and the result is still exact
+    got = sorted(r.url for r in out.collect())
+    want = sorted(
+        f"http://h{i % 7}.example/p{i}" for i in range(5000, 6000)
+    )
+    assert got == want

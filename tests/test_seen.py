@@ -83,4 +83,43 @@ def test_seen_filter_spark(spark, tmp_path, kind):
     sf.add(df2)
     flags = sf.maybe_seen_col(df2).select("maybe_seen").collect()
     assert all(r.maybe_seen for r in flags)
-    assert cat.read("seen").count() == 4  # one row per shard
+    # delta layout: two add() calls -> two rows per touched shard
+    assert cat.read("seen").count() == 8
+    # compaction OR-reduces to one row per shard, membership unchanged
+    sf.compact()
+    assert cat.read("seen").count() == 4
+    flags = sf.maybe_seen_col(df1.unionAll(df2)).select("maybe_seen").collect()
+    assert all(r.maybe_seen for r in flags)
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_seen_filter_shard_join_matches_broadcast(spark, tmp_path, kind):
+    """The shard-join membership path (10^10-scale: blobs never visit
+    the driver) must return the same flags as the broadcast path."""
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=10_000, kind=kind)
+    df1 = spark.range(0, 3_000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    probe = spark.range(2_000, 6_000).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash", "id as tag")
+    sf.add(df1)
+    sf.add(spark.range(6_000, 7_000).selectExpr("xxhash64(cast(id as string)) as url_hash"))
+    via_b = {r.tag: r.maybe_seen
+             for r in sf._maybe_seen_broadcast(probe, "url_hash").collect()}
+    via_j = {r.tag: r.maybe_seen
+             for r in sf.maybe_seen_join(probe, "url_hash").collect()}
+    assert via_b == via_j
+    # true members are flagged by both (no false negatives)
+    assert all(via_j[t] for t in range(2_000, 3_000))
+
+
+def test_seen_filter_join_path_forced_by_size(spark, tmp_path):
+    """maybe_seen_col flips to the shard-join path when the table
+    outgrows broadcast_bytes_max; flags stay exact."""
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=10_000,
+                    broadcast_bytes_max=1)  # force join path
+    df1 = spark.range(0, 2_000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    sf.add(df1)
+    assert sf.table_bytes() > 1
+    flags = sf.maybe_seen_col(df1).select("maybe_seen").collect()
+    assert all(r.maybe_seen for r in flags)

@@ -118,3 +118,60 @@ def test_metrics_and_checkpoint_rows(spark, tmp_path):
     cp = eng.cat.read("checkpoint").collect()
     assert len(cp) == eng.round + 1  # seed + one per round
     assert all(set(r.snapshot_ids) == {"frontier", "frontier_state", "fetch_log", "metrics", "trace"} for r in cp)
+
+
+RETRY_GRID = [
+    # (max_retries, retry_delay_rounds, ordering)
+    (1, 1, "bfs"), (2, 1, "bfs"), (1, 2, "bfs"), (0, 1, "bfs"),
+    (2, 1, "dfs"),
+]
+
+
+@pytest.mark.parametrize("max_retries,delay,ordering", RETRY_GRID)
+def test_retry_trace_equivalence(spark, tmp_path, max_retries, delay, ordering):
+    """Transient-failure retry: flaky urls 503 on their first N
+    attempts, park as 'retry', re-enter after the cool-down with their
+    original queue identity — trace must equal the oracle's exactly,
+    including the repeated fetch attempts (VERDICT r1 item 5)."""
+    from pyspark.sql import functions as F
+
+    from pompspark.frontier import S_RANK, S_ROUND
+
+    flaky = {"http://a.example/p1": 1, "http://b.example/p0": 2}
+    mapping = F.create_map(*[F.lit(x) for kv in flaky.items() for x in kv])
+    pages = small_pages_df(spark).withColumn(
+        "flaky_fails", F.coalesce(mapping[F.col("url")], F.lit(0))
+    )
+    eng = simulated_engine(
+        spark, str(tmp_path / f"retry-{max_retries}-{delay}-{ordering}"),
+        pages, ordering=ordering, per_round_budget=3, per_host_budget=2,
+        max_retries=max_retries, retry_delay_rounds=delay, compact_every=2,
+    )
+    eng.seed([SMALL_SEED])
+    eng.run(max_rounds=60)
+    got = [
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
+        for r in eng.trace().collect()
+    ]
+    sim = OracleCrawl(
+        sitemap=SMALL_SITEMAP, ordering=ordering, per_round_budget=3,
+        per_host_budget=2, flaky=flaky, max_retries=max_retries,
+        retry_delay_rounds=delay,
+    )
+    sim.seed([SMALL_SEED])
+    sim.run()
+    assert got == sim.trace_tuples(), (max_retries, delay, ordering)
+    # fetch_log status parity (503 attempts then the final outcome)
+    got_log = sorted(
+        (r.url, r.round, r.status) for r in eng.fetch_log().collect()
+    )
+    want_log = sorted(
+        (d["url"], d["round"], d["status"]) for d in sim.fetch_log
+    )
+    assert got_log == want_log
+    # a url that exhausts retries is terminal: fetched at most
+    # (flaky + 1) times, and with max_retries < flaky it never succeeds
+    if max_retries < flaky["http://b.example/p0"]:
+        assert ("http://b.example/p0", 200) not in {
+            (u, s) for (u, _r, s) in got_log
+        }
