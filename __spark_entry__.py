@@ -273,6 +273,19 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (training-data dedup family; JVM zip_with/aggregate dot products).
+    Exact variant here (oracle-checkable); textops.embedding_near_dup
+    (n_planes>0) is the LSH-bucketed 100 TB path."""
+    from pompspark.textops import embedding_near_dup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # restrict to a slice so the exact O(n^2) stays oracle-sized
+    emb = emb.filter(F.col("vec_id") < 300)
+    return embedding_near_dup(emb, threshold=0.35).select("id_a", "id_b")
+
+
 def q_quality_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + heuristic language-ID over documents (all
     JVM-side expressions). Integral outputs only (stopword ratio as
@@ -373,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace_dfs": q_crawl_trace_dfs,
         "politeness_schedule": q_politeness_schedule,
         "minhash_near_dup": q_minhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
         "simhash_groups": q_simhash_groups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
@@ -444,6 +458,16 @@ def _ann_lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
         "frontier_dequeue": f"""
             WITH f AS ({_FRONTIER_SQL}),
             r AS (

@@ -69,6 +69,7 @@ def main() -> None:
     seeds = bench_seed_urls(spark, n_pages, n_hosts=1000, n_seeds=int(os.environ.get("BENCH_SEEDS", "10000")))
     robots = bench_robots(spark).persist()
     robots.count()
+    use_seen = os.environ.get("BENCH_SEEN", "0") == "1"
     eng = simulated_engine(
         spark,
         os.path.join(workdir, "state"),
@@ -78,6 +79,9 @@ def main() -> None:
         per_round_budget=budget,
         per_host_budget=int(os.environ.get("BENCH_HOST_BUDGET", "5000")),
         compact_every=0,
+        use_seen_filter=use_seen,
+        seen_shards=int(os.environ.get("BENCH_SEEN_SHARDS", "32")),
+        seen_capacity_per_shard=max(100_000, n_pages // 16),
     )
     t0 = time.monotonic()
     eng.seed(seeds)
@@ -119,7 +123,7 @@ def main() -> None:
         "urls_per_sec": round(urls_per_sec, 1),
         "config": {
             "cpus": cpus, "n_pages": n_pages, "budget": budget,
-            "timed_rounds": timed_rounds,
+            "timed_rounds": timed_rounds, "seen_filter": use_seen,
         },
     }))
 

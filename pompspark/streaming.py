@@ -60,6 +60,39 @@ def stream_round_progress(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_host_totals_stateful(stream: DataFrame) -> DataFrame:
+    """Custom STATEFUL operator (applyInPandasWithState): running
+    per-host totals that survive across micro-batches via the state
+    store — the pattern for any cross-batch crawl monitor (per-host
+    error budgets, adaptive politeness, kill-switches). Arrow-batched;
+    state is one small tuple per host."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, errors = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            errors += int((pdf["status"] != 200).sum())
+        state.update((total, errors))
+        yield pd.DataFrame(
+            {"host": [key[0]], "total": [total], "errors": [errors]}
+        )
+
+    host = F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    return (
+        stream.withColumn("host", host)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            outputStructType="host string, total long, errors long",
+            stateStructType="total long, errors long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(result: DataFrame, checkpoint_dir: str):
     """Drain everything currently available into an in-memory sink and
     stop — the batch-friendly way to tail the crawl in tests/monitors."""

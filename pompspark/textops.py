@@ -181,6 +181,64 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold). n_planes=0 compares within the full corpus (exact,
+    O(n^2) — small corpora / oracle checks); n_planes>0 buckets by
+    random-hyperplane LSH first so only same-bucket pairs are scored —
+    the 100 TB path (cost ~ n^2 / 2^planes, recall < 1 like any LSH).
+    Dot products are JVM-side zip_with/aggregate — no Python."""
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if n_planes > 0:
+        rng = np.random.default_rng(seed)
+        dim = len(embeddings.select(vec_col).head()[0])
+        planes = rng.standard_normal((n_planes, dim))
+
+        def bucket(col) -> F.Column:
+            out = F.lit(0)
+            for i in range(n_planes):
+                d = F.aggregate(
+                    F.zip_with(
+                        col, F.array(*[F.lit(float(v)) for v in planes[i]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                out = out * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+            return out
+
+        a = a.withColumn("bucket", bucket(F.col("va")))
+        b = b.withColumn("bucket", bucket(F.col("vb")))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_bucket_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -42,3 +42,49 @@ def test_stream_round_progress(spark, tmp_path):
     # (separate dir: just assert the first stream result was complete)
     batch_total = eng.fetch_log().count()
     assert sum(r.urls for r in rows) == batch_total
+
+
+def test_stateful_host_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals must carry state
+    across micro-batches — run availableNow twice against a growing
+    file source with ONE checkpoint; the second drain sees only new
+    files yet reports cumulative totals."""
+    from pompspark.streaming import stream_host_totals_stateful
+
+    eng = simulated_engine(
+        spark, str(tmp_path / "s"), small_pages_df(spark),
+        ordering="bfs", per_round_budget=2, per_host_budget=2,
+    )
+    eng.seed([SMALL_SEED])
+    eng.run_round()
+
+    data_dir = os.path.join(str(tmp_path / "s"), "fetch_log", "data")
+    ckpt = str(tmp_path / "ckpt-state")
+
+    def drain():
+        rows = []
+
+        def sink(df, _epoch):
+            rows.extend(df.collect())
+
+        q = (
+            stream_host_totals_stateful(fetch_log_stream(spark, data_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.host: (r.total, r.errors) for r in rows}
+
+    first = drain()
+    n_first = sum(t for t, _ in first.values())
+    assert n_first == 1  # round 1 fetched just the seed
+
+    eng.run_round()  # more files appear
+    second = drain()
+    # cumulative: totals grew beyond what the new files alone contain
+    n_second = sum(t for t, _ in second.values())
+    assert n_second > n_first
+    assert all(e == 0 for _, e in second.values())

@@ -201,3 +201,24 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     pairs2 = minhash_lsh_candidates(df2, num_hashes=16, bands=4, max_bucket_size=50)
     found = {(r.id_a, r.id_b) for r in pairs2.collect()}
     assert (100001, 100002) in found
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """The LSH-bucketed near-dup path returns a subset of the exact
+    pair set (same-bucket constraint only removes pairs), and the
+    exact path finds engineered near-duplicates."""
+    import numpy as np
+
+    from pompspark.textops import embedding_near_dup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # engineered near-dup: vec 100 ~ vec 0 with tiny noise
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16).astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dup(df, threshold=0.9).collect()}
+    assert (0, 100) in exact
+    lsh = {(r.id_a, r.id_b)
+           for r in embedding_near_dup(df, threshold=0.9, n_planes=2).collect()}
+    assert lsh <= exact
