@@ -65,6 +65,13 @@ def main() -> None:
     ).parquet(pages_path)
     timings["gen_pages"] = round(time.monotonic() - t0, 3)
     pages = spark.read.parquet(pages_path)
+    if os.environ.get("BENCH_CACHE_PAGES", "0") == "1":
+        # measured and rejected as the default: caching the ~12 GB
+        # html corpus on-heap doubles round times at local[32] (GC
+        # pressure beats the saved parquet decode); kept as a knob for
+        # smaller corpora / bigger heaps.
+        pages = pages.persist()
+        pages.count()
 
     seeds = bench_seed_urls(spark, n_pages, n_hosts=1000, n_seeds=int(os.environ.get("BENCH_SEEDS", "10000")))
     robots = bench_robots(spark).persist()

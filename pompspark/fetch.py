@@ -124,9 +124,16 @@ class HttpFetcher:
     """
 
     def __init__(self, transport: Callable[[pd.Series], pd.DataFrame] | None = None,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0,
+                 sleeper: Callable[[float], None] | None = None):
         self.transport = transport
         self.timeout = timeout
+        # politeness pacing: when the batch carries a ``slot_s`` column
+        # (politeness.schedule_slots), each Arrow batch is fetched in
+        # slot order and the executor sleeps until a row's slot is due
+        # (relative to the round's start = first slot seen). Injectable
+        # for tests; None -> time.sleep.
+        self.sleeper = sleeper
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
@@ -154,10 +161,27 @@ class HttpFetcher:
             ]
         )
 
+        sleeper = self.sleeper
+        if sleeper is None:  # pragma: no cover - wall clock
+            import time as _time
+
+            sleeper = _time.sleep
+
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            elapsed = 0.0  # this task's position on the slot clock
             for b in batches:
                 if len(b) == 0:
                     continue
+                if "slot_s" in b.columns:
+                    b = b.sort_values("slot_s")
+                    due = float(b["slot_s"].iloc[-1])
+                    if due > elapsed:
+                        # one sleep per Arrow batch to its LAST slot:
+                        # within a batch the per-host spacing is already
+                        # bounded by the per-round cap; across batches
+                        # the clock is monotone.
+                        sleeper(due - elapsed)
+                        elapsed = due
                 try:
                     resp = transport(b["url"])
                 except Exception as exc:  # error isolation: whole batch

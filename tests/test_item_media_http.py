@@ -126,3 +126,38 @@ def test_http_fetcher_transport_failure_isolated(spark, tmp_path):
     log = eng.fetch_log().collect()
     assert len(log) == 1
     assert log[0].status == 599 and "network down" in log[0].error
+
+
+def test_http_fetcher_politeness_slots(spark, tmp_path):
+    """HttpFetcher paces by the politeness schedule: with a slot_s
+    column, each Arrow batch sleeps to its last due slot (injected
+    sleeper records the waits; fetch order within a batch follows the
+    schedule)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pompspark.fetch import HttpFetcher
+    from pompspark.politeness import schedule_slots
+
+    batch = spark.createDataFrame(
+        [(f"http://h{i % 2}.example/p{i}", f"h{i % 2}.example", i + 1, 2.0)
+         for i in range(6)],
+        "url string, host string, fetch_rank long, crawl_delay double",
+    )
+    scheduled = schedule_slots(batch).coalesce(1)
+
+    acc = spark.sparkContext.accumulator(0.0)
+
+    def fake_transport(urls: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame({
+            "status": [200] * len(urls),
+            "warc_ts": [pd.Timestamp("2026-01-01")] * len(urls),
+            "html": [b"<html><body>x</body></html>"] * len(urls),
+            "error": [None] * len(urls),
+        }, index=urls.index)
+
+    f = HttpFetcher(transport=fake_transport, sleeper=acc.add)
+    out = f.fetch(scheduled)
+    assert out.count() == 6
+    # schedule: per host slots 0,2,4 -> the single batch sleeps to 4
+    assert abs(acc.value - 4.0) <= 1e-9
