@@ -260,7 +260,8 @@ class CrawlEngine:
 
         raw = dequeue(
             self.store.queued(
-                current_round=r, retry_delay_rounds=self.retry_delay_rounds
+                current_round=r, retry_delay_rounds=self.retry_delay_rounds,
+                retry_enabled=self.max_retries > 0,
             ),
             self.robots_df,
             ordering=self.ordering,
@@ -270,6 +271,11 @@ class CrawlEngine:
         )
         raw = raw.persist()
         n_dequeued = raw.count()
+        # raw's cache now backs every downstream read; the top-k's
+        # internal sort cache (if the parallel path ran) is done.
+        topk_cache = getattr(raw, "_topk_cache", None)
+        if topk_cache is not None:
+            topk_cache.unpersist()
         lap("dequeue")
         if n_dequeued == 0:
             raw.unpersist()
@@ -398,6 +404,21 @@ class CrawlEngine:
             self.cat.append_dir("frontier_state", round_files)
             lap("trace_state_alias")
 
+        # metrics file-reads (driver pyarrow IO, occasionally several
+        # seconds when contending with the round files' writeback)
+        # overlap the merge job below — the driver thread is otherwise
+        # parked in py4j waiting on executors. urls_new is patched in
+        # after the merge commits.
+        import threading
+
+        metrics_box: dict = {}
+
+        def _collect_metrics():
+            metrics_box["rows"] = _metrics_rows(round_files, r, 0, 0)
+
+        metrics_thread = threading.Thread(target=_collect_metrics)
+        metrics_thread.start()
+
         # discoveries -> canonicalize -> dedup -> anti-join -> merge (O9/O2)
         _, canon_base_udf, host_udf = register_udfs()
         disc = (
@@ -437,12 +458,15 @@ class CrawlEngine:
         # from the round files' footers + two pruned columns on the
         # driver — the Iceberg manifest-stats analog, zero Spark jobs
         # (a per-round metrics aggregation job cost ~0.9 s of serial
-        # driver time, measured round-over-round).
-        self.cat.append_rows(
-            "metrics",
-            _metrics_rows(round_files, r, n_new,
-                          int((time.monotonic() - t0) * 1000)),
-        )
+        # driver time, measured round-over-round). The file reads ran
+        # concurrently with the merge job; finalize and commit.
+        metrics_thread.join()
+        wall = int((time.monotonic() - t0) * 1000)
+        rows = metrics_box.get("rows") or []
+        for row in rows:
+            row["urls_new"] = n_new
+            row["wall_ms"] = wall
+        self.cat.append_rows("metrics", rows)
         lap("append_metrics")
 
         self.round = r

@@ -65,7 +65,11 @@ def ref_extract(html: bytes) -> tuple[str, list[str]]:
     body = _TAG_RE.sub(b" ", body)
     text = body.decode("utf-8", errors="replace")
     text = _htmlmod.unescape(text)
-    text = _WS_RE.sub(" ", text).strip()
+    # " ".join(split()) == _WS_RE.sub(" ", text).strip() EXACTLY (re \s
+    # and str.isspace agree on every codepoint — pinned by
+    # test_ws_collapse_equivalence) and is ~5x faster; ws-collapse was
+    # 86% of extract time, the round loop's dominant python cost.
+    text = " ".join(text.split())
     return text, links
 
 

@@ -76,3 +76,27 @@ def test_map_in_pandas_variant(spark):
     rows = out.select("url", "expected", "text").collect()
     for r in rows:
         assert r.text == r.expected
+
+
+def test_ws_collapse_equivalence():
+    """The fast path ' '.join(text.split()) must equal the contract's
+    regex form _WS_RE.sub(' ', text).strip() — re \\s and str.isspace
+    agree on every unicode codepoint (verified exhaustively when this
+    substitution was made); this pins the behavioral contract on
+    adversarial samples + hypothesis fuzz."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pompspark.extract import _WS_RE
+
+    samples = ["", " ", "  a  b  ", "a\x1c\x1d b", "tab\tnl\n cr\r e ",
+               "a b", "a  b", "x​z"]  # NBSP, em-space, ZWSP
+    for s in samples:
+        assert " ".join(s.split()) == _WS_RE.sub(" ", s).strip()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def fuzz(s):
+        assert " ".join(s.split()) == _WS_RE.sub(" ", s).strip()
+
+    fuzz()
