@@ -107,11 +107,19 @@ def main() -> None:
     os.sync()
 
     # ---------------- timed rounds --------------------------------------
+    sync_each = os.environ.get("BENCH_SYNC_ROUNDS", "1") == "1"
     fetched = 0
     t_start = time.monotonic()
     for i in range(timed_rounds):
         r0 = time.monotonic()
         n = eng.run_round()
+        if sync_each:
+            # flush INSIDE the timed window: each round writes ~GBs of
+            # parquet; letting dirty pages pile up produces a single
+            # multi-10s kernel writeback stall in a later round (a
+            # measured 78 s round among 40 s rounds). Paying the flush
+            # per round is the same total work without the cliff.
+            os.sync()
         timings[f"round_{i + 1}"] = round(time.monotonic() - r0, 3)
         fetched += n
         if n == 0:

@@ -3,12 +3,13 @@
 A 100 TB crawl carries media alongside html: this module provides the
 Spark-side plumbing — typed metadata schema, Arrow-batched decode /
 feature-extract / resize / frame-sample stages over ``binary`` columns
-via mapInPandas — with the codec layer STUBBED (this container ships
-no PIL/ffmpeg). Each stage takes a ``decoder`` callable; the default
-raises NotImplementedError with install guidance, and
-``fake_image_decoder`` is a deterministic stand-in that makes the
-plumbing fully testable (schema, batching, partitioning, error
-isolation) without the real libs.
+via mapInPandas. The codec layer is pluggable: ``ppm_bmp_decoder`` is
+a REAL numpy-only decoder for uncompressed formats (binary PPM,
+24/32-bit BMP — no codec library required, works in this container);
+compressed formats (jpeg/png/video) take an injected PIL/turbojpeg/
+ffmpeg-backed callable on a real cluster (the default stub raises
+with install guidance), and ``fake_image_decoder`` is a deterministic
+stand-in for plumbing tests.
 
 No pomp analog — pomp is text-only; this extends the item pipeline
 (BasePipeline) the way a training-data crawler needs.
@@ -40,6 +41,68 @@ def default_image_decoder(payload: bytes) -> dict:  # pragma: no cover
         "PIL/turbojpeg-backed decoder: decoder(payload) -> "
         "{'mime','width','height','pixels': np.ndarray}"
     )
+
+
+def ppm_bmp_decoder(payload: bytes) -> dict:
+    """REAL decoder for uncompressed raster formats — binary PPM (P6)
+    and 24/32-bit uncompressed BMP — implemented with numpy only (no
+    codec library needed, so it works in this container). Compressed
+    formats (jpeg/png/...) still need an injected PIL/turbojpeg decoder
+    on a real cluster. Returns grayscale pixels (luma, uint8)."""
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:2] == b"P6":
+        # P6 <ws> width <ws> height <ws> maxval <single-ws> raster
+        parts: list[int] = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to EOL
+                while i < len(payload) and payload[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = parts
+        if maxval > 255:
+            raise ValueError("16-bit PPM unsupported")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        rgb = raster.reshape(h, w, 3).astype(np.float32)
+        luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+        return {"mime": "image/x-portable-pixmap", "width": w, "height": h,
+                "pixels": luma.astype(np.uint8)}
+    if payload[:2] == b"BM":
+        import struct
+
+        off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError("BMP core header unsupported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if comp != 0 or bpp not in (24, 32):
+            raise ValueError(f"BMP bpp={bpp} comp={comp} unsupported")
+        flip = h > 0
+        h = abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        px = rows[:, : w * nb].reshape(h, w, nb)[..., :3].astype(np.float32)
+        if flip:
+            px = px[::-1]
+        # BMP stores BGR
+        luma = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+        return {"mime": "image/bmp", "width": w, "height": h,
+                "pixels": luma.astype(np.uint8)}
+    raise ValueError("unsupported format (only P6 PPM / uncompressed BMP "
+                     "decode without a codec library; inject a decoder)")
 
 
 def fake_image_decoder(payload: bytes) -> dict:

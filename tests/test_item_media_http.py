@@ -161,3 +161,51 @@ def test_http_fetcher_politeness_slots(spark, tmp_path):
     assert out.count() == 6
     # schedule: per host slots 0,2,4 -> the single batch sleeps to 4
     assert abs(acc.value - 4.0) <= 1e-9
+
+
+def test_ppm_bmp_real_decode(spark):
+    """ppm_bmp_decoder is a REAL decoder (numpy-only): P6 PPM and
+    24-bit BMP payloads decode to correct dimensions and a 64-dim
+    pooled feature through the full decode_images plumbing."""
+    import struct
+
+    import numpy as np
+
+    from pompspark.media import decode_images, ppm_bmp_decoder
+
+    w, h = 20, 12
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 10  # red ramp
+    ppm = b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+    d = ppm_bmp_decoder(ppm)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"].shape == (h, w)
+    # luma of a pure-red ramp: 0.299 * red
+    assert abs(int(d["pixels"][0, 10]) - int(0.299 * 100)) <= 1
+
+    # 24-bit BMP (bottom-up, BGR, 4-byte row padding)
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                         2835, 2835, 0, 0) + bytes(raster))
+    d2 = ppm_bmp_decoder(bmp)
+    assert (d2["width"], d2["height"]) == (w, h)
+    assert np.array_equal(d2["pixels"], d["pixels"])  # same image
+
+    rows = [(1, ppm), (2, bmp), (3, b"\x89PNG....")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_images(df, decoder=ppm_bmp_decoder).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].width == w and by_id[1].decode_error is None
+    assert len(by_id[1].features) == 64
+    assert by_id[2].height == h and by_id[2].decode_error is None
+    assert by_id[3].decode_error is not None  # png needs injected codec
