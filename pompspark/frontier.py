@@ -235,12 +235,24 @@ def dequeue(
 
 def dedup_discoveries(discoveries: DataFrame) -> DataFrame:
     """First occurrence (by fetch_rank, pos) wins within one round's
-    link batch — matches the oracle's in-order _admit."""
-    w = Window.partitionBy("url").orderBy("fetch_rank", "pos")
-    return (
-        discoveries.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    link batch — matches the oracle's in-order _admit.
+
+    groupBy + min(struct) instead of a row_number window: struct
+    comparison is lexicographic by field order, and (fetch_rank, pos)
+    is unique per (url, parent-row), so the min struct IS the first
+    occurrence with its depth/host riding along. Unlike a window, the
+    aggregate gets map-side partial aggregation — the shuffle carries
+    one row per (url, map-partition), not every duplicate link (link
+    batches are dup-heavy, the round's biggest shuffle)."""
+    first = F.min(
+        F.struct("fetch_rank", "pos", "depth", "host")
+    ).alias("f")
+    return discoveries.groupBy("url").agg(first).select(
+        "url",
+        F.col("f.host").alias("host"),
+        F.col("f.depth").alias("depth"),
+        F.col("f.fetch_rank").alias("fetch_rank"),
+        F.col("f.pos").alias("pos"),
     )
 
 

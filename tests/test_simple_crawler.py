@@ -175,3 +175,64 @@ def test_retry_trace_equivalence(spark, tmp_path, max_retries, delay, ordering):
         assert ("http://b.example/p0", 200) not in {
             (u, s) for (u, _r, s) in got_log
         }
+
+
+def _random_web(seed=1234, n_hosts=12, pages_per_host=8, out_deg=4):
+    """Deterministic pseudo-random sitemap: cross-host links, a few
+    dead links (404 targets), a couple of flaky urls."""
+    import random
+
+    rng = random.Random(seed)
+    urls = [
+        f"http://s{h}.example/p{p}"
+        for h in range(n_hosts) for p in range(pages_per_host)
+    ]
+    sitemap = {}
+    for u in urls:
+        kids = rng.sample(urls, k=out_deg)
+        if rng.random() < 0.15:  # dead link -> 404 path
+            kids.append(f"http://s{rng.randrange(n_hosts)}.example/dead{rng.randrange(99)}")
+        sitemap[u] = kids
+    flaky = {urls[3]: 1, urls[17]: 2, urls[41]: 1}
+    return sitemap, flaky
+
+
+@pytest.mark.parametrize("ordering,retries", [("bfs", 0), ("bfs", 2), ("dfs", 1)])
+def test_random_web_trace_equivalence(spark, tmp_path, ordering, retries):
+    """Stress the ordering contract beyond the 12-page fixture: a
+    96-page pseudo-random cross-host web with dead links and flaky
+    urls must produce the oracle's trace EXACTLY, across orderings and
+    retry settings."""
+    from pyspark.sql import functions as F
+
+    from pompspark.fixtures import pages_rows
+    from pompspark.frontier import S_RANK, S_ROUND
+    from pompspark.schemas import PAGES
+
+    sitemap, flaky = _random_web()
+    pages = spark.createDataFrame(pages_rows(sitemap), schema=PAGES)
+    mapping = F.create_map(*[F.lit(x) for kv in flaky.items() for x in kv])
+    pages = pages.withColumn(
+        "flaky_fails", F.coalesce(mapping[F.col("url")], F.lit(0))
+    )
+    seeds = [list(sitemap)[0], list(sitemap)[37]]
+    eng = simulated_engine(
+        spark, str(tmp_path / f"rweb-{ordering}-{retries}"), pages,
+        ordering=ordering, per_round_budget=13, per_host_budget=3,
+        max_retries=retries, retry_delay_rounds=1, compact_every=3,
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=200)
+    got = [
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
+        for r in eng.trace().collect()
+    ]
+    sim = OracleCrawl(
+        sitemap=sitemap, ordering=ordering, per_round_budget=13,
+        per_host_budget=3, flaky=flaky, max_retries=retries,
+        retry_delay_rounds=1,
+    )
+    sim.seed(seeds)
+    sim.run()
+    assert got == sim.trace_tuples()
+    assert len(got) >= len(sitemap)  # visited everything reachable (+retries)
