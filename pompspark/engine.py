@@ -103,6 +103,7 @@ class CrawlEngine:
         seen_capacity_per_shard: int = 1_000_000,
         use_bucketed_index: bool = True,
         index_buckets: int = 32,
+        banded_dequeue: bool = False,
     ):
         self.spark = spark
         self.cat = Catalog(spark, workdir)
@@ -117,6 +118,7 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.max_retries = max_retries
         self.retry_delay_rounds = retry_delay_rounds
+        self.banded_dequeue = banded_dequeue
 
         if robots_df is None:
             robots_df = spark.createDataFrame([], schemas.ROBOTS_CACHE)
@@ -258,24 +260,37 @@ class CrawlEngine:
 
         self.last_round_timings = timings
 
-        raw = dequeue(
-            self.store.queued(
-                current_round=r, retry_delay_rounds=self.retry_delay_rounds,
+        if self.banded_dequeue:
+            from pompspark.frontier import dequeue_banded
+
+            raw, n_dequeued, self.last_bands_read = dequeue_banded(
+                self.store, self.robots_df, ordering=self.ordering,
+                per_round_budget=round_budget or self.per_round_budget,
+                per_host_budget=self.per_host_budget,
+                round_seconds=self.round_seconds,
+                current_round=r,
+                retry_delay_rounds=self.retry_delay_rounds,
                 retry_enabled=self.max_retries > 0,
-            ),
-            self.robots_df,
-            ordering=self.ordering,
-            per_round_budget=round_budget or self.per_round_budget,
-            per_host_budget=self.per_host_budget,
-            round_seconds=self.round_seconds,
-        )
-        raw = raw.persist()
-        n_dequeued = raw.count()
-        # raw's cache now backs every downstream read; the top-k's
-        # internal sort cache (if the parallel path ran) is done.
-        topk_cache = getattr(raw, "_topk_cache", None)
-        if topk_cache is not None:
-            topk_cache.unpersist()
+            )
+        else:
+            raw = dequeue(
+                self.store.queued(
+                    current_round=r, retry_delay_rounds=self.retry_delay_rounds,
+                    retry_enabled=self.max_retries > 0,
+                ),
+                self.robots_df,
+                ordering=self.ordering,
+                per_round_budget=round_budget or self.per_round_budget,
+                per_host_budget=self.per_host_budget,
+                round_seconds=self.round_seconds,
+            )
+            raw = raw.persist()
+            n_dequeued = raw.count()
+            # raw's cache now backs every downstream read; the top-k's
+            # internal sort cache (if the parallel path ran) is done.
+            topk_cache = getattr(raw, "_topk_cache", None)
+            if topk_cache is not None:
+                topk_cache.unpersist()
         lap("dequeue")
         if n_dequeued == 0:
             raw.unpersist()
@@ -474,7 +489,11 @@ class CrawlEngine:
         self._checkpoint(budget_left=0)
         lap("checkpoint")
         if self.compact_every and r % self.compact_every == 0:
-            self.store.compact()
+            from pompspark.frontier import BAND_COL
+
+            self.store.compact(
+                band_col=BAND_COL[self.ordering] if self.banded_dequeue else None
+            )
             if self.seen_filter is not None:
                 self.seen_filter.compact()
             lap("compact")

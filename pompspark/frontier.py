@@ -233,6 +233,121 @@ def dequeue(
     return batch.select(*out_cols, "fetch_rank")
 
 
+BAND_COL = {"bfs": "depth", "dfs": "discovered_round"}
+
+
+def dequeue_banded(
+    store: "FrontierStore",
+    robots_df: DataFrame,
+    ordering: str = "bfs",
+    per_round_budget: int = 1000,
+    per_host_budget: int = 10,
+    round_seconds: float = 1.0,
+    current_round: int | None = None,
+    retry_delay_rounds: int = 1,
+    retry_enabled: bool = True,
+    parallel_topk_threshold: int = 50_000,
+) -> tuple[DataFrame, int, int]:
+    """Band-pruned dequeue: read sort-key-prefix bands of the queued
+    frontier in key order, growing the prefix geometrically, and STOP
+    as soon as the politeness-capped selection fills the round budget.
+    Returns (persisted batch, n_rows, bands_read).
+
+    EXACTNESS: bands are ordered by a strict prefix of the sort key
+    ((priority desc, depth asc) for BFS; (priority desc,
+    discovered_round desc) for DFS — within one priority, seq blocks
+    are monotone in discovered_round). The loop stops only when BOTH
+    hold:
+      (a) |selection| == budget (the politeness-capped candidate pool
+          already covers the budget), and
+      (b) every selected row's (priority, band) ranks STRICTLY before
+          the first unread band — necessary because the un-banded
+          recent dirs (appends since the last compaction, always read
+          in full) contribute rows from arbitrary bands: a selected
+          deep row from an append does NOT prove the unread shallower-
+          than-it banded rows are covered, so the prefix is extended
+          through the deepest selected band and re-run.
+    Under (a)+(b) every unread banded row ranks behind every selected
+    row, and adding worse rows can neither enter a host's top-cap
+    ahead of existing rows nor displace any of the global top-budget —
+    so the selection equals the full-frontier selection (pinned by the
+    banded trace-equivalence grid). At a 10^10-row frontier with a
+    10^7 budget this reads the active crawl band(s), not the whole
+    table, each round."""
+    info = store.band_info()
+    want_col = BAND_COL[ordering]
+    if info is None or info["band_col"] != want_col:
+        # no valid banded layout for this ordering: full scan
+        batch = dequeue(
+            store.queued(current_round, retry_delay_rounds, retry_enabled),
+            robots_df, ordering, per_round_budget, per_host_budget,
+            round_seconds, parallel_topk_threshold,
+        )
+        batch = batch.persist()
+        n = batch.count()
+        cache = getattr(batch, "_topk_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        return batch, n, -1
+
+    band_col = info["band_col"]
+    pairs = []
+    for p_str, bands in info["bands"].items():
+        for b in bands:
+            pairs.append((float(p_str), int(b)))
+    desc_band = ordering == "dfs"
+    keyf = (lambda pb: (-pb[0], -pb[1])) if desc_band else (lambda pb: (-pb[0], pb[1]))
+    pairs.sort(key=keyf)
+
+    def rank_of(p: float, b: int) -> int:
+        """# of bands strictly before (p, b) in key order — works for
+        (p, b) values that only exist in un-banded appends too."""
+        k = keyf((p, b))
+        return sum(1 for pb in pairs if keyf(pb) < k)
+
+    i = 0  # bands [0, i) are in the read prefix
+    while True:
+        i = min(len(pairs), max(i + 1, i * 2))  # geometric growth
+        exhausted = i >= len(pairs)
+        by_p: dict[float, list[int]] = {}
+        for p, b in pairs[:i]:
+            by_p.setdefault(p, []).append(b)
+        pred = F.lit(False)
+        for p, bs in by_p.items():
+            pred = pred | (
+                (F.col("priority") == F.lit(p)) & F.col(band_col).isin(bs)
+            )
+        src = store.banded_source(pred)
+        eligible = store.queued(
+            current_round, retry_delay_rounds, retry_enabled, source=src
+        )
+        batch = dequeue(
+            eligible, robots_df, ordering, per_round_budget,
+            per_host_budget, round_seconds, parallel_topk_threshold,
+        )
+        batch = batch.persist()
+        n = batch.count()
+        cache = getattr(batch, "_topk_cache", None)
+        if cache is not None:
+            cache.unpersist()
+        if exhausted:
+            return batch, n, i
+        if n >= per_round_budget:
+            # coverage check (b): the deepest selected band must rank
+            # strictly before the first unread band, else extend the
+            # prefix through it and re-run.
+            sel_bands = batch.select("priority", band_col).distinct().collect()
+            worst = max(rank_of(float(r[0]), int(r[1])) for r in sel_bands)
+            if worst < i:
+                return batch, n, i
+            batch.unpersist()
+            # extend the prefix through the deepest selected band: the
+            # loop head grows to >= i+1, so aim it at worst (+1 there).
+            i = worst
+            continue
+        batch.unpersist()
+
+
 def dedup_discoveries(discoveries: DataFrame) -> DataFrame:
     """First occurrence (by fetch_rank, pos) wins within one round's
     link batch — matches the oracle's in-order _admit.
@@ -471,7 +586,8 @@ class FrontierStore:
 
     def queued(self, current_round: int | None = None,
                retry_delay_rounds: int = 1,
-               retry_enabled: bool = True) -> DataFrame:
+               retry_enabled: bool = True,
+               source: DataFrame | None = None) -> DataFrame:
         """Rows eligible for dequeue: frontier[state=queued] minus
         transitioned urls — except urls whose LATEST transition is
         'retry' (transient fetch failure below max_retries) and whose
@@ -483,8 +599,12 @@ class FrontierStore:
         'retry' transition can exist, so the latest-state fold
         degenerates to a plain anti-join — measured ~3 s/round cheaper
         at bench scale (the fold aggregates the whole transition table
-        before every broadcast build)."""
-        f = self.cat.read("frontier").filter(F.col("state") == "queued")
+        before every broadcast build).
+
+        ``source`` overrides the frontier row source (the band-pruned
+        dequeue passes a band-limited read)."""
+        base = source if source is not None else self.cat.read("frontier")
+        f = base.filter(F.col("state") == "queued")
         t = self.cat.read("frontier_state")
         small = self.cat.row_count("frontier_state") <= self.BROADCAST_STATE_ROWS
         if not retry_enabled:
@@ -549,11 +669,103 @@ class FrontierStore:
         )
         return self.cat.append("frontier_state", upd)
 
-    def compact(self) -> None:
+    # ---------------------------------------------------------- band layout
+    # Band-pruned dequeue (the 10^10 path): compaction partitions the
+    # queued rows by a SORT-KEY-PREFIX band column — depth for BFS,
+    # discovered_round for DFS — so a dequeue reads bands in key order
+    # and STOPS once the politeness-capped candidate count reaches the
+    # round budget, instead of scanning the whole queued frontier every
+    # round. Exact: bands are ordered by a prefix of the sort key, so
+    # every row of a later band ranks behind every row already read
+    # (proof in dequeue_banded). Appends since the last compaction are
+    # not banded and are always read in full (O(K x batch) rows).
+
+    def band_marker_path(self) -> str:
+        import os
+
+        return os.path.join(self.cat.root, "frontier_bands.json")
+
+    def _write_band_marker(self, rel_dir: str, band_col: str) -> None:
+        import glob
+        import json
+        import os
+        import re
+
+        base = os.path.join(self.cat._tdir("frontier"), rel_dir)
+        bands: dict[str, list] = {}
+        for d in glob.glob(os.path.join(
+            base, "state=queued", "priority=*", f"{band_col}=*"
+        )):
+            m = re.search(rf"priority=([^/]+)/{band_col}=([^/]+)$", d)
+            if m:
+                bands.setdefault(m.group(1), []).append(int(m.group(2)))
+        for v in bands.values():
+            v.sort()
+        with open(self.band_marker_path(), "w") as f:
+            json.dump({
+                "dir": rel_dir, "band_col": band_col, "bands": bands,
+                "frontier_version": self.cat.current_version("frontier"),
+            }, f)
+
+    def band_info(self) -> dict | None:
+        """The banded compacted dir + its (priority -> bands) map, or
+        None when no valid banded layout exists (never compacted, or
+        the table moved past the marker, e.g. rollback/overwrite)."""
+        import json
+        import os
+
+        p = self.band_marker_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            info = json.load(f)
+        v = self.cat.current_version("frontier")
+        snap = self.cat._read_snapshot("frontier", v)
+        if info.get("dir") not in snap["dirs"]:
+            return None
+        return info
+
+    def banded_source(self, band_pred) -> DataFrame:
+        """Frontier rows limited to ``band_pred`` over the banded
+        compacted dir, UNION all rows of the (small) un-banded dirs
+        appended since compaction. Partition pruning keeps unread
+        bands' files untouched."""
+        import json
+        import os
+
+        from pyspark.sql import types as T
+
+        info = self.band_info()
+        v = self.cat.current_version("frontier")
+        snap = self.cat._read_snapshot("frontier", v)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        cols = schema.fieldNames()
+        parts = []
+        for d in snap["dirs"]:
+            full = os.path.join(self.cat._tdir("frontier"), d)
+            df = (
+                self.cat.spark.read.schema(schema)
+                .option("basePath", full)
+                .parquet(full)
+                .select(*cols)
+            )
+            if d == info["dir"]:
+                df = df.filter(band_pred)
+            parts.append(df)
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
+
+    def compact(self, band_col: str | None = None) -> None:
         """Fold TERMINAL transitions (fetched/error/dropped) into the
         frontier rows; transitions of urls whose latest state is
         'retry' must survive compaction — queued() needs their last
-        round (cool-down) and retry count (attempt number)."""
+        round (cool-down) and retry count (attempt number).
+
+        ``band_col`` ('depth' or 'discovered_round'): also lay the
+        compacted queued rows out in sort-key-prefix bands for the
+        band-pruned dequeue."""
         f = self.cat.read("frontier")
         t = self.cat.read("frontier_state")
         latest = t.groupBy(
@@ -580,11 +792,22 @@ class FrontierStore:
         )
         kept = kept.persist()
         kept.count()  # materialize before overwriting its source table
-        self.cat.overwrite("frontier", folded, partition_by=["state"])
+        partition_by = ["state"] + ([ "priority", band_col] if band_col else [])
+        v = self.cat.overwrite("frontier", folded, partition_by=partition_by)
         self.cat.overwrite("frontier_state", kept.select(*[
             fld.name for fld in self._state_schema.fields
         ]))
         kept.unpersist()
+        if band_col:
+            import os
+
+            self._write_band_marker(f"data/d-{v:08d}", band_col)
+        else:
+            import os
+
+            p = self.band_marker_path()
+            if os.path.exists(p):
+                os.remove(p)
         if self.use_index:
             # identity set unchanged by compaction; just re-pin the
             # marker to the new frontier version.

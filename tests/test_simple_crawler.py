@@ -236,3 +236,78 @@ def test_random_web_trace_equivalence(spark, tmp_path, ordering, retries):
     sim.run()
     assert got == sim.trace_tuples()
     assert len(got) >= len(sitemap)  # visited everything reachable (+retries)
+
+
+@pytest.mark.parametrize("ordering,retries", [("bfs", 0), ("bfs", 1), ("dfs", 0)])
+def test_banded_dequeue_trace_equivalence(spark, tmp_path, ordering, retries):
+    """banded_dequeue=True must be trace-IDENTICAL to the oracle: the
+    band-pruned scan is an exactness-preserving optimization (bands are
+    sort-key-prefix ordered), across compactions, retries and both
+    orderings — on the random cross-host web."""
+    from pyspark.sql import functions as F
+
+    from pompspark.fixtures import pages_rows
+    from pompspark.frontier import S_RANK, S_ROUND
+    from pompspark.schemas import PAGES
+
+    sitemap, flaky = _random_web(seed=77)
+    pages = spark.createDataFrame(pages_rows(sitemap), schema=PAGES)
+    if retries:
+        mapping = F.create_map(*[F.lit(x) for kv in flaky.items() for x in kv])
+        pages = pages.withColumn(
+            "flaky_fails", F.coalesce(mapping[F.col("url")], F.lit(0))
+        )
+    seeds = [list(sitemap)[0]]
+    eng = simulated_engine(
+        spark, str(tmp_path / f"band-{ordering}-{retries}"), pages,
+        ordering=ordering, per_round_budget=11, per_host_budget=3,
+        max_retries=retries, retry_delay_rounds=1, compact_every=2,
+        banded_dequeue=True,
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=200)
+    got = [
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
+        for r in eng.trace().collect()
+    ]
+    sim = OracleCrawl(
+        sitemap=sitemap, ordering=ordering, per_round_budget=11,
+        per_host_budget=3, flaky=flaky if retries else None,
+        max_retries=retries, retry_delay_rounds=1,
+    )
+    sim.seed(seeds)
+    sim.run()
+    assert got == sim.trace_tuples()
+
+
+def test_banded_dequeue_prunes_bands(spark, tmp_path):
+    """The pruning actually happens: with a deep frontier and a small
+    budget, the banded dequeue stops after reading a strict subset of
+    the bands (engine.last_bands_read < total bands) while producing
+    the identical batch to a full-scan dequeue."""
+    from pompspark.fixtures import pages_rows
+    from pompspark.schemas import PAGES
+
+    # a long chain: depth bands 0..N, budget covers only the shallow end
+    chain = {f"http://deep.example/p{i}": [f"http://deep.example/p{i+1}",
+                                           f"http://wide{i}.example/x"]
+             for i in range(30)}
+    for i in range(30):
+        chain[f"http://wide{i}.example/x"] = []
+    chain["http://deep.example/p30"] = []
+    pages = spark.createDataFrame(pages_rows(chain), schema=PAGES)
+    eng = simulated_engine(
+        spark, str(tmp_path / "bandprune"), pages,
+        ordering="bfs", per_round_budget=4, per_host_budget=4,
+        compact_every=1, banded_dequeue=True,
+    )
+    eng.seed(["http://deep.example/p0"])
+    for _ in range(12):
+        if eng.run_round() == 0:
+            break
+    info = eng.store.band_info()
+    assert info is not None and info["band_col"] == "depth"
+    n_bands = sum(len(v) for v in info["bands"].values())
+    # late in the crawl many depth bands exist; the last round read few
+    assert n_bands >= 4
+    assert 0 < eng.last_bands_read < n_bands
