@@ -281,24 +281,33 @@ def test_banded_dequeue_trace_equivalence(spark, tmp_path, ordering, retries):
 
 
 def test_banded_dequeue_prunes_bands(spark, tmp_path):
-    """The pruning actually happens: with a deep frontier and a small
-    budget, the banded dequeue stops after reading a strict subset of
-    the bands (engine.last_bands_read < total bands) while producing
-    the identical batch to a full-scan dequeue."""
+    """The pruning actually happens: with a backlog that spans many
+    bands and a small budget, the banded dequeue stops after reading a
+    strict subset of the bands (engine.last_bands_read < total bands).
+
+    Fixture shape (discovery rate must exceed the round budget, or
+    every band drains the round it is born and no backlog ever forms —
+    the r2 fixture failed exactly that way): a deep chain on one host
+    where every chain page also links to FIVE pages on a single
+    throttled wide host. DFS + per_host_budget=1 fetches the newest
+    wide page and the chain tip each round (2 fetched, 6 discovered),
+    so each round strands 4 wide pages in that round's
+    discovered_round band and the backlog grows one band per round."""
     from pompspark.fixtures import pages_rows
     from pompspark.schemas import PAGES
 
-    # a long chain: depth bands 0..N, budget covers only the shallow end
-    chain = {f"http://deep.example/p{i}": [f"http://deep.example/p{i+1}",
-                                           f"http://wide{i}.example/x"]
-             for i in range(30)}
+    chain: dict[str, list[str]] = {}
     for i in range(30):
-        chain[f"http://wide{i}.example/x"] = []
+        wides = [f"http://wide.example/w{i}-{j}" for j in range(5)]
+        chain[f"http://deep.example/p{i}"] = (
+            [f"http://deep.example/p{i+1}"] + wides)
+        for w in wides:
+            chain[w] = []
     chain["http://deep.example/p30"] = []
     pages = spark.createDataFrame(pages_rows(chain), schema=PAGES)
     eng = simulated_engine(
         spark, str(tmp_path / "bandprune"), pages,
-        ordering="bfs", per_round_budget=4, per_host_budget=4,
+        ordering="dfs", per_round_budget=2, per_host_budget=1,
         compact_every=1, banded_dequeue=True,
     )
     eng.seed(["http://deep.example/p0"])
@@ -306,8 +315,8 @@ def test_banded_dequeue_prunes_bands(spark, tmp_path):
         if eng.run_round() == 0:
             break
     info = eng.store.band_info()
-    assert info is not None and info["band_col"] == "depth"
+    assert info is not None and info["band_col"] == "discovered_round"
     n_bands = sum(len(v) for v in info["bands"].values())
-    # late in the crawl many depth bands exist; the last round read few
+    # late in the crawl many backlog bands exist; the last round read few
     assert n_bands >= 4
     assert 0 < eng.last_bands_read < n_bands
