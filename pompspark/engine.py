@@ -120,10 +120,6 @@ class CrawlEngine:
         self.retry_delay_rounds = retry_delay_rounds
         self.banded_dequeue = banded_dequeue
 
-        if robots_df is None:
-            robots_df = spark.createDataFrame([], schemas.ROBOTS_CACHE)
-        self.robots_df = robots_df
-
         self.store = FrontierStore(
             self.cat, index_buckets=index_buckets, use_index=use_bucketed_index
         )
@@ -134,6 +130,12 @@ class CrawlEngine:
         self.cat.create("robots_cache", schemas.ROBOTS_CACHE)
         if self.cat.current_version("robots_cache") == 1 and robots_df is not None:
             self.cat.append("robots_cache", robots_df)
+        # Rules are served FROM the durable robots_cache table, not a
+        # driver-pinned DataFrame: resume gets the cache back for free,
+        # and the footer row count (zero Spark jobs) picks the join
+        # strategy in with_robots — broadcast whole while small,
+        # active-host-pruned semi-join past the gate (SCALE.md).
+        self._reload_robots()
 
         self.seen_filter = None
         if use_seen_filter:
@@ -149,7 +151,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ lifecycle
     def seed(self, seeds: list) -> int:
-        rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0)
+        rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0,
+                               robots_rows=self.robots_rows)
         seed_dir = self.store.append(rows)
         seeded = self.spark.read.parquet(seed_dir)
         if self.store.use_index:
@@ -204,9 +207,12 @@ class CrawlEngine:
         now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
         updated = refresh_robots_cache(self.robots_df, transport, now, ttl_s)
         if updated is not self.robots_df:
-            self.robots_df = updated.persist()
-            self.robots_df.count()
-            self.cat.overwrite("robots_cache", self.robots_df)
+            self.cat.overwrite("robots_cache", updated)
+            self._reload_robots()
+
+    def _reload_robots(self) -> None:
+        self.robots_df = self.cat.read("robots_cache")
+        self.robots_rows = self.cat.row_count("robots_cache")
 
     # ------------------------------------------------------------ the loop
     def run(self, max_rounds: int | None = None, total_budget: int | None = None):
@@ -265,6 +271,7 @@ class CrawlEngine:
 
             raw, n_dequeued, self.last_bands_read = dequeue_banded(
                 self.store, self.robots_df, ordering=self.ordering,
+                robots_rows=self.robots_rows,
                 per_round_budget=round_budget or self.per_round_budget,
                 per_host_budget=self.per_host_budget,
                 round_seconds=self.round_seconds,
@@ -280,6 +287,7 @@ class CrawlEngine:
                 ),
                 self.robots_df,
                 ordering=self.ordering,
+                robots_rows=self.robots_rows,
                 per_round_budget=round_budget or self.per_round_budget,
                 per_host_budget=self.per_host_budget,
                 round_seconds=self.round_seconds,
@@ -451,7 +459,7 @@ class CrawlEngine:
         )
         new_rows = new_frontier_rows(
             disc, self.store.identity_rows(), self.robots_df, r,
-            seen_filter=self.seen_filter,
+            seen_filter=self.seen_filter, robots_rows=self.robots_rows,
         )
         # the append IS the materialization: n_new comes from the
         # committed files' footers, not a separate .count() action.

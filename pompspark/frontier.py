@@ -74,7 +74,8 @@ def _state_col(robots_df):
     return F.when(F.col("disallowed"), F.lit("excluded")).otherwise(F.lit("queued"))
 
 
-def normalize_seeds(spark, seeds, robots_df, round_: int = 0) -> DataFrame:
+def normalize_seeds(spark, seeds, robots_df, round_: int = 0,
+                    robots_rows: int | None = None) -> DataFrame:
     """seeds: list[str | (url, priority)] -> FRONTIER-shaped rows.
     pomp analog: ENTRY_REQUESTS consumed at pump start
     (pomp/core/base.py BaseCrawler.ENTRY_REQUESTS -> Pomp.prepare)."""
@@ -102,7 +103,7 @@ def normalize_seeds(spark, seeds, robots_df, round_: int = 0) -> DataFrame:
         .filter(F.col("rn") == 1)
         .withColumn("seq", (F.row_number().over(w_seq) - 1).cast("long"))
     )
-    df = with_robots(df, robots_df)
+    df = with_robots(df, robots_df, robots_rows=robots_rows)
     return df.select(
         "url", *_identity_cols(F.col("url"))[:2], "host",
         F.lit(0).alias("depth"), "priority",
@@ -184,6 +185,7 @@ def dequeue(
     per_host_budget: int = 10,
     round_seconds: float = 1.0,
     parallel_topk_threshold: int = 50_000,
+    robots_rows: int | None = None,
 ) -> DataFrame:
     """O3: the politeness-budgeted top-k. Returns the fetch batch with
     ``fetch_rank`` (0-based fetch order within the round).
@@ -196,7 +198,7 @@ def dequeue(
             f"rank-field width ({MAX_RANK}); widen S_RANK packing"
         )
     keys = sort_keys(ordering)
-    df = with_robots(queued, robots_df)
+    df = with_robots(queued, robots_df, robots_rows=robots_rows)
     cap = politeness_cap_col(per_host_budget, round_seconds)
 
     # level 1: per-(host, salt) — defuses hot-host window skew.
@@ -247,6 +249,7 @@ def dequeue_banded(
     retry_delay_rounds: int = 1,
     retry_enabled: bool = True,
     parallel_topk_threshold: int = 50_000,
+    robots_rows: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Band-pruned dequeue: read sort-key-prefix bands of the queued
     frontier in key order, growing the prefix geometrically, and STOP
@@ -281,7 +284,7 @@ def dequeue_banded(
         batch = dequeue(
             store.queued(current_round, retry_delay_rounds, retry_enabled),
             robots_df, ordering, per_round_budget, per_host_budget,
-            round_seconds, parallel_topk_threshold,
+            round_seconds, parallel_topk_threshold, robots_rows,
         )
         batch = batch.persist()
         n = batch.count()
@@ -324,6 +327,7 @@ def dequeue_banded(
         batch = dequeue(
             eligible, robots_df, ordering, per_round_budget,
             per_host_budget, round_seconds, parallel_topk_threshold,
+            robots_rows,
         )
         batch = batch.persist()
         n = batch.count()
@@ -399,6 +403,7 @@ def new_frontier_rows(
     robots_df: DataFrame,
     round_: int,
     seen_filter=None,
+    robots_rows: int | None = None,
 ) -> DataFrame:
     """O2 merge: discoveries (url, host, depth, fetch_rank, pos) ->
     FRONTIER rows not already present. ``existing`` is the identity-row
@@ -424,7 +429,7 @@ def new_frontier_rows(
         fresh = definitely_new.unionByName(survivors)
     else:
         fresh = _anti_join_existing(d, existing)
-    fresh = with_robots(fresh, robots_df)
+    fresh = with_robots(fresh, robots_df, robots_rows=robots_rows)
     # pos-field width guard: a page with >= 2^21 outlinks would make
     # seq collide with the next rank — raise instead of silently
     # corrupting the queue order (physically impossible for real pages,

@@ -128,13 +128,22 @@ def refresh_robots_cache(robots_df, transport, now, ttl_s: float = 86400.0):
     stale = robots_df.filter(
         F.col("fetched_ts").isNotNull() & (F.col("fetched_ts") < F.lit(cutoff))
     )
-    stale_hosts = [r.host for r in stale.select("host").collect()]
-    if not stale_hosts:
+    # footer-count the stale slice? cheaper: run the refetch
+    # executor-side via mapInPandas — at 10^8 hosts a driver collect of
+    # the stale host list is O(hosts) driver memory (r2 verdict); this
+    # keeps every host on executors and fans the refetch out across the
+    # cluster. transport must be picklable (it is an injected seam).
+    def _refetch(batches):
+        for pdf in batches:
+            if len(pdf):
+                out = transport(pdf["host"].reset_index(drop=True))
+                yield out[["host", "robots_txt", "fetched_ts"]]
+
+    if stale.isEmpty():
+        # identity return signals noop to the caller (no table rewrite)
         return robots_df
-    refetched = transport(pd.Series(stale_hosts))
-    spark = robots_df.sparkSession
-    raw = spark.createDataFrame(
-        refetched[["host", "robots_txt", "fetched_ts"]]
+    raw = stale.select("host").mapInPandas(
+        _refetch, schema="host string, robots_txt string, fetched_ts timestamp"
     )
     return fresh.unionByName(build_robots_cache(raw))
 
@@ -150,19 +159,38 @@ def path_col(url_col):
     )
 
 
-def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host"):
-    """Broadcast-join robots onto df; adds ``disallowed`` (bool) and
+def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host",
+                robots_rows: int | None = None,
+                broadcast_row_gate: int = 4_000_000):
+    """Join robots onto df; adds ``disallowed`` (bool) and
     ``crawl_delay`` (double, null = none). Hosts with no robots row
-    default to allow-all (FIXTURES F4). robots_cache is per-host —
-    small relative to the frontier — hence broadcast, never shuffled."""
+    default to allow-all (FIXTURES F4).
+
+    Strategy (SCALE.md: "per-round broadcast of the ACTIVE hosts
+    only"): when the cache is known small (``robots_rows`` from table
+    footers <= gate, or unknown) it is broadcast whole — one tiny
+    build, df never shuffles. Past the gate (10^8 hosts ~ 100 GB: a
+    whole-cache broadcast is a scale-killer) the cache is first
+    LEFT-SEMI pruned to df's distinct hosts — the semi-join shuffles
+    only the cache and the (map-side-combined) host list, never df —
+    and AQE broadcast-converts the pruned cache into the final join
+    when the active-host slice is small, which is the steady state of
+    any crawl round (batch hosts << all hosts ever seen)."""
     from pyspark.sql import functions as F
 
     r = robots_df.select(
         F.col("host").alias("__r_host"), "crawl_delay", "disallow"
     )
-    joined = df.join(
-        F.broadcast(r), F.col(host_col) == F.col("__r_host"), "left"
-    ).drop("__r_host")
+    if robots_rows is not None and robots_rows > broadcast_row_gate:
+        hosts = df.select(F.col(host_col).alias("__r_host")).distinct()
+        r = r.join(hosts, "__r_host", "left_semi")
+        joined = df.join(
+            r, F.col(host_col) == F.col("__r_host"), "left"
+        ).drop("__r_host")
+    else:
+        joined = df.join(
+            F.broadcast(r), F.col(host_col) == F.col("__r_host"), "left"
+        ).drop("__r_host")
     p = path_col(F.col(url_col))
     disallowed = F.when(
         F.col("disallow").isNotNull(),

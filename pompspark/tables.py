@@ -81,10 +81,46 @@ def arrow_schema_of(schema: T.StructType):
     return pa.schema([(f.name, _arrow_type(f.dataType)) for f in schema.fields])
 
 
+def _fsync_dir_files(path: str, workers: int = 8) -> None:
+    """fsync every file under ``path`` (and the dir entries), bounding
+    kernel writeback to the just-committed data instead of letting GBs
+    of dirty pages accumulate: measured on this box, unflushed rounds
+    eventually hit one multi-10s global writeback stall (a 78 s round
+    among 40 s rounds; the r2 driver bench lost 25% of its headline to
+    a single 45.6 s straggler round). Paying the flush at commit time
+    is the same total IO without the cliff — and it is what a real
+    durable table commit (Iceberg on HDFS/S3) implies anyway."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    files: list[str] = []
+    dirs: list[str] = [path]
+    for root_, dnames, fnames in os.walk(path):
+        dirs.extend(os.path.join(root_, d) for d in dnames)
+        files.extend(os.path.join(root_, f) for f in fnames)
+
+    def _sync(p: str) -> None:
+        try:
+            fd = os.open(p, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(_sync, files))
+    for d in dirs:
+        _sync(d)
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Durable commits: fsync data files as part of commit (see
+        # _fsync_dir_files). Off-switch for experiments only.
+        self.fsync_commits = os.environ.get("POMPSPARK_FSYNC", "1") == "1"
         os.makedirs(root, exist_ok=True)
 
     # ------------------------------------------------------------ paths
@@ -142,6 +178,8 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+        if self.fsync_commits:
+            _fsync_dir_files(path)
         return rel
 
     def append(self, table: str, df: DataFrame,
@@ -183,6 +221,8 @@ class Catalog:
 
             shutil.rmtree(path)
         writer(path)
+        if self.fsync_commits:
+            _fsync_dir_files(path)
         self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
             "schema": prev["schema"], "partition_by": None,
@@ -212,6 +252,8 @@ class Catalog:
         path = os.path.join(self._tdir(table), rel)
         os.makedirs(path, exist_ok=True)
         pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+        if self.fsync_commits:
+            _fsync_dir_files(path, workers=1)
         return self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
             "schema": prev["schema"], "partition_by": None,

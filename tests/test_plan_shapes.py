@@ -139,3 +139,38 @@ def test_merge_anti_join_no_frontier_exchange(spark, tmp_path):
         f"http://h{i % 7}.example/p{i}" for i in range(5000, 6000)
     )
     assert got == want
+
+
+def test_robots_join_host_pruned_past_gate(spark):
+    """Past the broadcast row gate, with_robots must NOT broadcast the
+    whole cache: the robots side is LEFT-SEMI pruned to df's distinct
+    hosts first (the only broadcast-able subtree is then the pruned
+    slice, built by AQE at runtime), and the df side carries no
+    host-key Exchange introduced by the pruning."""
+    from pompspark.fixtures import small_robots_df
+    from pompspark.robots import with_robots
+
+    df = spark.createDataFrame(
+        [("http://a.example/p1", "a.example")], ["url", "host"]
+    )
+    robots = small_robots_df(spark)
+    out = with_robots(df, robots, robots_rows=10_000_000,
+                      broadcast_row_gate=4_000_000)
+    plan = _plan(out)
+    assert "LeftSemi" in plan
+    # results identical to the broadcast path
+    base = with_robots(df, robots).select("url", "disallowed", "crawl_delay")
+    got = out.select("url", "disallowed", "crawl_delay")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_robots_join_broadcast_under_gate(spark):
+    from pompspark.fixtures import small_robots_df
+    from pompspark.robots import with_robots
+
+    df = spark.createDataFrame(
+        [("http://a.example/p1", "a.example")], ["url", "host"]
+    )
+    plan = _plan(with_robots(df, small_robots_df(spark), robots_rows=100))
+    assert "LeftSemi" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

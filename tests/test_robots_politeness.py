@@ -109,10 +109,10 @@ def test_robots_ttl_refresh(spark):
     )
     cache = build_robots_cache(raw)
 
-    calls = []
-
     def transport(hosts: pd.Series) -> pd.DataFrame:
-        calls.append(list(hosts))
+        # runs EXECUTOR-side (mapInPandas — no O(hosts) driver collect,
+        # r2 verdict): only-stale-hosts-refetched is asserted via the
+        # output content, not a driver-side call log.
         return pd.DataFrame({
             "host": hosts,
             "robots_txt": ["User-agent: *\nDisallow: /new\nCrawl-delay: 2"] * len(hosts),
@@ -121,11 +121,12 @@ def test_robots_ttl_refresh(spark):
 
     updated = refresh_robots_cache(cache, transport, now, ttl_s=86400.0)
     rows = {r.host: r for r in updated.collect()}
-    assert calls == [["stale.example"]]
     assert rows["stale.example"].disallow == ["/new"]
     assert rows["stale.example"].crawl_delay == 2.0
+    # fresh row passed through untouched => transport never saw it
     assert rows["fresh.example"].disallow == ["/keep"]
-    # idempotent when nothing is stale
+    assert rows["fresh.example"].crawl_delay is None
+    assert len(rows) == 2
+    # identity when nothing is stale (caller skips the table rewrite)
     again = refresh_robots_cache(updated, transport, now, ttl_s=86400.0)
-    assert len(calls) == 1
-    assert again.count() == 2
+    assert again is updated
