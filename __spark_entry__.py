@@ -252,6 +252,17 @@ def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(_documents(spark, sf_dir))
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming<=3 SimHash near-dup pairs via (k+1)-piece banding —
+    exact-recall candidates (pigeonhole) + JVM xor-popcount verify
+    (rows-only check: signature is numpy-hash-derived; recall vs an
+    all-pairs popcount oracle is pinned by
+    tests/test_textops.py::test_simhash_near_dup_matches_bruteforce)."""
+    from pompspark.textops import simhash_near_dup
+
+    return simhash_near_dup(_documents(spark, sf_dir), k=3)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for the first 10 embeddings —
     JVM-side zip_with/aggregate dot products (rows-only: float order)."""
@@ -388,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "simhash_groups": q_simhash_groups,
+        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "quality_lang_id": q_quality_lang_id,
@@ -644,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         # - crawl_trace_bfs / crawl_trace_dfs: iterative engine loop
         #   (trace equivalence vs the pure-python oracle is pinned in
         #   tests/test_simple_crawler.py's grid)
-        # - minhash_near_dup / simhash_groups: numpy-hash-derived
-        #   signatures (property-tested in tests/test_textops.py)
+        # - minhash_near_dup / simhash_groups / simhash_near_dup:
+        #   numpy-hash-derived signatures (property-tested in
+        #   tests/test_textops.py; simhash_near_dup recall is pinned
+        #   EQUAL to an all-pairs popcount oracle there)
     }

@@ -109,10 +109,12 @@ def main() -> None:
     # ---------------- timed rounds --------------------------------------
     sync_each = os.environ.get("BENCH_SYNC_ROUNDS", "1") == "1"
     fetched = 0
+    stage_timings: dict[str, dict] = {}
     t_start = time.monotonic()
     for i in range(timed_rounds):
         r0 = time.monotonic()
         n = eng.run_round()
+        stage_timings[f"round_{i + 1}"] = dict(eng.last_round_timings)
         if sync_each:
             # flush INSIDE the timed window: each round writes ~GBs of
             # parquet; letting dirty pages pile up produces a single
@@ -136,6 +138,7 @@ def main() -> None:
         "sf": sf,
         "urls_fetched": fetched,
         "urls_per_sec": round(urls_per_sec, 1),
+        "stage_timings": stage_timings,
         "config": {
             "cpus": cpus, "n_pages": n_pages, "budget": budget,
             "timed_rounds": timed_rounds, "seen_filter": use_seen,

@@ -181,6 +181,51 @@ def minhash_lsh_candidates(
     return pairs
 
 
+def _hyperplane_bucket(col, planes) -> "F.Column":
+    """Sign-pattern bucket id of a vector column against fixed random
+    hyperplanes — JVM-side (planes embedded as literals, like
+    lsh_bucketed_topk's seed-42 hyperplane SQL literals)."""
+    out = F.lit(0)
+    for row in planes:
+        d = F.aggregate(
+            F.zip_with(
+                col, F.array(*[F.lit(float(v)) for v in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        out = out * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
+    return out
+
+
+def embedding_bucket_stats(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """Companion to embedding_near_dup's bucket cap (mirrors
+    lsh_bucket_stats): how many hyperplane buckets/rows exceed the cap
+    and were dropped from pairing. Coverage must never silently
+    shrink — run this alongside the capped near-dup."""
+    rng = np.random.default_rng(seed)
+    dim = len(embeddings.select(vec_col).head()[0])
+    planes = rng.standard_normal((n_planes, dim))
+    sizes = (
+        embeddings.select(_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket_size, 1).otherwise(0)).alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket_size, F.col("n")).otherwise(0)).alias("n_dropped_rows"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -188,13 +233,21 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 42,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold). n_planes=0 compares within the full corpus (exact,
     O(n^2) — small corpora / oracle checks); n_planes>0 buckets by
     random-hyperplane LSH first so only same-bucket pairs are scored —
     the 100 TB path (cost ~ n^2 / 2^planes, recall < 1 like any LSH).
-    Dot products are JVM-side zip_with/aggregate — no Python."""
+    Dot products are JVM-side zip_with/aggregate — no Python.
+
+    ``max_bucket_size`` caps the LSH path's quadratic term exactly like
+    minhash_lsh_candidates': a degenerate bucket (e.g. near-zero
+    vectors all landing on one sign pattern) would emit |bucket|^2
+    pairs; buckets above the cap are EXCLUDED from pairing and
+    reported by embedding_bucket_stats. None = uncapped; ignored when
+    n_planes=0 (the exact path is already all-pairs by request)."""
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -213,22 +266,17 @@ def embedding_near_dup(
         rng = np.random.default_rng(seed)
         dim = len(embeddings.select(vec_col).head()[0])
         planes = rng.standard_normal((n_planes, dim))
-
-        def bucket(col) -> F.Column:
-            out = F.lit(0)
-            for i in range(n_planes):
-                d = F.aggregate(
-                    F.zip_with(
-                        col, F.array(*[F.lit(float(v)) for v in planes[i]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0), lambda acc, x: acc + x,
-                )
-                out = out * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
-            return out
-
-        a = a.withColumn("bucket", bucket(F.col("va")))
-        b = b.withColumn("bucket", bucket(F.col("vb")))
+        a = a.withColumn("bucket", _hyperplane_bucket(F.col("va"), planes))
+        b = b.withColumn("bucket", _hyperplane_bucket(F.col("vb"), planes))
+        if max_bucket_size is not None:
+            ok = (
+                a.groupBy("bucket")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket_size)
+                .select("bucket")
+            )
+            a = a.join(ok, "bucket", "left_semi")
+            b = b.join(ok, "bucket", "left_semi")
         pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
@@ -287,6 +335,70 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
         df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min("id").alias("rep_id"), F.count("*").alias("n_members"))
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_bucket_size: int | None = 2000,
+) -> DataFrame:
+    """Hamming<=k SimHash near-dup pairs (id_a < id_b, hamming) via
+    (k+1)-piece banding: split the 64-bit signature into k+1 disjoint
+    bit slices; <=k differing bits cannot touch all k+1 slices
+    (pigeonhole), so every true pair shares at least one identical
+    slice — candidate recall is EXACT (unlike MinHash banding), and the
+    xor-popcount verify is exact too, all JVM-side (bit ops + F.bit_count,
+    no Python after the signature UDF). Shuffle volume: (id, sim,
+    slice-hash) — text never shuffles. Cost ~ sum(|bucket|^2) per
+    slice; ``max_bucket_size`` caps the quadratic term exactly like
+    minhash_lsh_candidates (degenerate bucket: e.g. sim=0 empty texts).
+    """
+    if k < 1:
+        raise ValueError("k < 1: use simhash_dedup for exact-signature groups")
+    n_pieces = k + 1
+    bounds = [round(64 * p / n_pieces) for p in range(n_pieces + 1)]
+    _, simhash_udf = register_text_udfs()
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sim"))
+    slices = []
+    for p in range(n_pieces):
+        lo, hi = bounds[p], bounds[p + 1]
+        mask = (1 << (hi - lo)) - 1
+        slices.append(F.struct(
+            F.lit(p).alias("piece"),
+            F.shiftright("sim", lo).bitwiseAND(F.lit(mask)).alias("val"),
+        ))
+    banded = sig.select(
+        "id", "sim", F.explode(F.array(*slices)).alias("pv")
+    ).select("id", "sim", "pv.piece", "pv.val")
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("piece", "val")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("piece", "val")
+        )
+        banded = banded.join(ok, ["piece", "val"], "left_semi")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.piece") == F.col("r.piece"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))) <= F.lit(k)
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
+        .distinct()
     )
 
 

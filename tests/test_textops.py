@@ -222,3 +222,76 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     lsh = {(r.id_a, r.id_b)
            for r in embedding_near_dup(df, threshold=0.9, n_planes=2).collect()}
     assert lsh <= exact
+
+
+def test_embedding_lsh_bucket_cap_bounds_degenerate(spark):
+    """All-identical vectors land in ONE hyperplane bucket; the cap
+    must exclude it from pairing (bounded pair count — r2 verdict) and
+    embedding_bucket_stats must account for the drop."""
+    from pompspark.textops import embedding_bucket_stats, embedding_near_dup
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_dup(
+        df, threshold=0.5, n_planes=4, max_bucket_size=10
+    )
+    assert capped.count() == 0
+    stats = embedding_bucket_stats(
+        df, n_planes=4, max_bucket_size=10
+    ).collect()[0]
+    assert stats.n_dropped_buckets == 1
+    assert stats.n_dropped_rows == 50
+    # uncapped still pairs them (50*49/2)
+    assert embedding_near_dup(
+        df, threshold=0.5, n_planes=4, max_bucket_size=None
+    ).count() == 50 * 49 // 2
+
+
+def test_simhash_near_dup_matches_bruteforce(spark):
+    """(k+1)-piece banding has EXACT recall at Hamming<=k (pigeonhole):
+    the Spark pair set must EQUAL the driver-side all-pairs popcount
+    answer, including planted near-identical texts."""
+    from pompspark.textops import simhash64, simhash_near_dup
+
+    texts = {}
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(20):
+        texts[i] = f"document {i} body with words " + " ".join(
+            f"tok{(i * 7 + j) % 13}" for j in range(20)
+        )
+    # planted near-dups: identical and one-token-perturbed copies
+    texts[100] = base
+    texts[101] = base
+    texts[102] = base.replace("lazy", "sleepy")
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for k in (1, 3):
+        got = {(r.id_a, r.id_b, r.hamming)
+               for r in simhash_near_dup(df, k=k, max_bucket_size=None).collect()}
+        sigs = {i: simhash64(t) for i, t in texts.items()}
+        ids = sorted(sigs)
+        want = set()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+                if h <= k:
+                    want.add((ids[x], ids[y], h))
+        assert got == want
+        if k == 3:
+            assert (100, 101, 0) in got  # identical pair present
+
+
+def test_simhash_near_dup_bucket_cap(spark):
+    """A degenerate slice bucket (empty texts -> sim=0) is excluded
+    from pairing under the cap; real near-dups still pair."""
+    from pompspark.textops import simhash_near_dup
+
+    rows = [(i, "") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in simhash_near_dup(df, k=2, max_bucket_size=10).collect()}
+    assert (100, 101) in pairs
+    assert not any(a < 100 for a, _ in pairs)
