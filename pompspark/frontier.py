@@ -537,21 +537,25 @@ class FrontierStore:
         with open(self._marker) as f:
             return int(f.read().strip() or -1)
 
+    def _register_index_table(self) -> None:
+        # re-register the external bucketed table over existing files
+        # (files carry bucket ids in their names)
+        self.cat.spark.sql(
+            f"CREATE TABLE {self._index_name} "
+            f"(url_hash BIGINT, url STRING) USING PARQUET "
+            f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
+            f"INTO {self.index_buckets} BUCKETS "
+            f"LOCATION '{self._index_loc}'"
+        )
+
     def _ensure_index(self) -> None:
         spark = self.cat.spark
         if not spark.catalog.tableExists(self._index_name):
             import os
 
             if os.path.isdir(self._index_loc):
-                # new session over an existing workdir: re-register the
-                # external table (files carry bucket ids in their names)
-                spark.sql(
-                    f"CREATE TABLE {self._index_name} "
-                    f"(url_hash BIGINT, url STRING) USING PARQUET "
-                    f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
-                    f"INTO {self.index_buckets} BUCKETS "
-                    f"LOCATION '{self._index_loc}'"
-                )
+                # new session over an existing workdir
+                self._register_index_table()
             else:
                 self._bucket_write(
                     spark.createDataFrame([], "url_hash long, url string"),
@@ -573,6 +577,61 @@ class FrontierStore:
 
     def index_append(self, df: DataFrame) -> None:
         self._bucket_write(df, overwrite=False)
+        self._write_marker()
+
+    def index_file_count(self) -> int:
+        import glob
+        import os
+
+        return len(glob.glob(
+            os.path.join(self._index_loc, "**", "*.parquet"), recursive=True
+        ))
+
+    # index files per bucket tolerated before compact() rewrites the
+    # index (each append lays one file-set; past this the bucketed-scan
+    # advantage drowns in file-open costs — r2 verdict: 10^4 rounds =
+    # 10^4 files per bucket without a rewrite).
+    INDEX_FILES_PER_BUCKET = 4
+
+    def index_compact(self) -> None:
+        """Rewrite the bucketed identity index into ONE file per bucket
+        (Iceberg rewrite_data_files analog). repartition on the bucket
+        column uses the same murmur3 pmod as the bucket-id assignment,
+        so each write task holds exactly one bucket and emits exactly
+        one file. Shuffle volume: the 2-column identity set — never the
+        frontier's full rows. Writes to a sibling location, then swaps
+        dirs and re-registers; a crash mid-swap is healed by
+        _ensure_index (dir re-register) or the marker-mismatch rebuild
+        (index is derived state — the frontier stays source of truth)."""
+        import os
+        import shutil
+
+        spark = self.cat.spark
+        tmp_name = self._index_name + "_rw"
+        tmp_loc = self._index_loc + ".rw"
+        shutil.rmtree(tmp_loc, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+        # read the FILES, not the table: a bucketed-table scan reports
+        # HashPartitioning(url_hash) and Catalyst elides the repartition
+        # below the write — but auto-bucketed-scan may not actually
+        # align tasks to buckets, scattering every bucket across every
+        # write task (measured: 8 tasks x 4 buckets = 32 files).
+        (
+            spark.read.schema("url_hash long, url string")
+            .parquet(self._index_loc)
+            .repartition(self.index_buckets, F.col("url_hash"))
+            .write.format("parquet")
+            .bucketBy(self.index_buckets, "url_hash")
+            .sortBy("url_hash")
+            .mode("overwrite")
+            .option("path", tmp_loc)
+            .saveAsTable(tmp_name)
+        )
+        spark.sql(f"DROP TABLE {self._index_name}")
+        spark.sql(f"DROP TABLE {tmp_name}")  # metadata only; files stay
+        shutil.rmtree(self._index_loc)
+        os.replace(tmp_loc, self._index_loc)
+        self._register_index_table()
         self._write_marker()
 
     def identity_rows(self) -> DataFrame:
@@ -817,3 +876,7 @@ class FrontierStore:
             # identity set unchanged by compaction; just re-pin the
             # marker to the new frontier version.
             self._write_marker()
+            if self.index_file_count() > (
+                self.INDEX_FILES_PER_BUCKET * self.index_buckets
+            ):
+                self.index_compact()

@@ -174,3 +174,50 @@ def test_robots_join_broadcast_under_gate(spark):
     plan = _plan(with_robots(df, small_robots_df(spark), robots_rows=100))
     assert "LeftSemi" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_index_compact_one_file_per_bucket(spark, tmp_path):
+    """After many appends the bucketed index accretes one file-set per
+    round (r2 verdict: 10^4 rounds = 10^4 files/bucket); index_compact
+    must rewrite it to ONE file per bucket, preserve the identity set
+    exactly, and keep the no-Exchange bucketed-scan property of the
+    merge anti-join."""
+    from pompspark import schemas
+    from pompspark.frontier import FrontierStore, new_frontier_rows
+    from pompspark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "idxc"))
+    store = FrontierStore(cat, index_buckets=4)
+    for i in range(20):
+        rows = spark.range(i * 50, i * 50 + 50).selectExpr(
+            "concat('http://h', cast(id % 5 as string), '.example/p', cast(id as string)) as url",
+        ).selectExpr("xxhash64(url) as url_hash", "url")
+        store.index_append(rows)
+    assert store.index_file_count() > 20  # accreted
+    before = sorted(r.url for r in store.identity_rows().collect())
+    store.index_compact()
+    assert store.index_file_count() == 4  # one per bucket
+    after = sorted(r.url for r in store.identity_rows().collect())
+    assert after == before and len(after) == 1000
+
+    disc = spark.range(900, 1100).selectExpr(
+        "concat('http://h', cast(id % 5 as string), '.example/p', cast(id as string)) as url",
+        "concat('h', cast(id % 5 as string), '.example') as host",
+        "cast(1 as int) as depth", "cast(0 as long) as fetch_rank",
+        "cast(id as int) as pos",
+    )
+    robots = spark.createDataFrame([], schemas.ROBOTS_CACHE)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = new_frontier_rows(disc, store.identity_rows(), robots, 1)
+        plan = _plan(out)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # the index side scans bucketed with no Exchange: exactly one
+    # url_hash Exchange in the anti-join plan (the O(batch) discovery
+    # side) — same assertion as test_merge_anti_join_no_frontier_exchange
+    import re
+    n_exchange = len(re.findall(r"\bExchange hashpartitioning\(url_hash", plan))
+    assert n_exchange == 1, f"expected 1 url_hash exchange, got {n_exchange}:\n{plan}"
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    assert new_frontier_rows(disc, store.identity_rows(), robots, 1).count() == 100
