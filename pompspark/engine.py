@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pompspark import schemas
 from pompspark.canon import register_udfs
 from pompspark.fetch import SimulatedFetcher
+import pompspark.frontier as frontier_mod
 from pompspark.frontier import (
     FRONTIER_COLS,
     S_RANK,
@@ -219,10 +220,21 @@ class CrawlEngine:
         """pump: rounds until the frontier is empty (pomp StopCommand)
         or budgets run out."""
         budget = total_budget if total_budget is not None else (1 << 62)
+        idle = 0
         while budget > 0 and (max_rounds is None or self.round < max_rounds):
             fetched = self.run_round(min(budget, self.per_round_budget))
             if fetched == 0:
                 if self.max_retries and self._has_pending_retries():
+                    idle += 1
+                    if idle > self.retry_delay_rounds:
+                        # every pending retry's cool-down elapsed during
+                        # the idle run and a fully-eligible round STILL
+                        # fetched nothing — the retries are permanently
+                        # undequeueable (e.g. refresh_robots() now
+                        # disallows their hosts). Unbounded idling here
+                        # would spin forever appending checkpoint rows
+                        # (r2 advice).
+                        break
                     # only cooling-down retries left: advance the round
                     # clock (their eligibility is round-based) and keep
                     # pumping — mirrors the oracle's idle round.
@@ -230,6 +242,7 @@ class CrawlEngine:
                     self._checkpoint(budget_left=0)
                     continue
                 break
+            idle = 0
             budget -= fetched
         return self.cat.read("trace")
 
@@ -293,7 +306,7 @@ class CrawlEngine:
                 round_seconds=self.round_seconds,
             )
             raw = raw.persist()
-            n_dequeued = raw.count()
+            n_dequeued = frontier_mod.materialize_batch(raw)
             # raw's cache now backs every downstream read; the top-k's
             # internal sort cache (if the parallel path ran) is done.
             topk_cache = getattr(raw, "_topk_cache", None)

@@ -167,40 +167,50 @@ class HttpFetcher:
 
             sleeper = _time.sleep
 
+        def fetch_frame(b: pd.DataFrame) -> pd.DataFrame:
+            try:
+                resp = transport(b["url"])
+            except Exception as exc:  # error isolation: whole sub-batch
+                resp = pd.DataFrame({
+                    "status": [599] * len(b),
+                    "warc_ts": [pd.NaT] * len(b),
+                    "html": [None] * len(b),
+                    "error": [f"transport: {exc}"] * len(b),
+                }, index=b.index)
+            b = b.copy()
+            for c in ("status", "warc_ts", "html"):
+                b[c] = resp[c]
+            b["error"] = resp.get("error", pd.Series([None] * len(b), index=b.index))
+            b["n_bytes"] = b["html"].map(lambda h: len(h) if h is not None else 0)
+            ext = extract_frame(b["html"].where(b["status"] == 200, None))
+            b["text"] = ext["text"].where(b["status"] == 200, None)
+            b["links"] = ext["links"].where(
+                b["status"] == 200, pd.Series([[]] * len(b), index=b.index)
+            )
+            return b
+
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elapsed = 0.0  # this task's position on the slot clock
             for b in batches:
                 if len(b) == 0:
                     continue
                 if "slot_s" in b.columns:
-                    b = b.sort_values("slot_s")
-                    due = float(b["slot_s"].iloc[-1])
-                    if due > elapsed:
-                        # one sleep per Arrow batch to its LAST slot:
-                        # within a batch the per-host spacing is already
-                        # bounded by the per-round cap; across batches
-                        # the clock is monotone.
-                        sleeper(due - elapsed)
-                        elapsed = due
-                try:
-                    resp = transport(b["url"])
-                except Exception as exc:  # error isolation: whole batch
-                    resp = pd.DataFrame({
-                        "status": [599] * len(b),
-                        "warc_ts": [pd.NaT] * len(b),
-                        "html": [None] * len(b),
-                        "error": [f"transport: {exc}"] * len(b),
-                    }, index=b.index)
-                b = b.copy()
-                for c in ("status", "warc_ts", "html"):
-                    b[c] = resp[c]
-                b["error"] = resp.get("error", pd.Series([None] * len(b), index=b.index))
-                b["n_bytes"] = b["html"].map(lambda h: len(h) if h is not None else 0)
-                ext = extract_frame(b["html"].where(b["status"] == 200, None))
-                b["text"] = ext["text"].where(b["status"] == 200, None)
-                b["links"] = ext["links"].where(
-                    b["status"] == 200, pd.Series([[]] * len(b), index=b.index)
-                )
-                yield b
+                    # issue per-SLOT sub-batches, sleeping each one to
+                    # its due time: a single batch-wide sleep would fire
+                    # every same-host row of an Arrow batch (up to
+                    # maxRecordsPerBatch of them) at one instant,
+                    # violating crawl_delay spacing inside the batch
+                    # (r2 advice). Rows sharing a slot are concurrent by
+                    # construction (schedule_slots staggers same-host
+                    # rows into distinct slots).
+                    b = b.sort_values("slot_s", kind="stable")
+                    for due, sub in b.groupby("slot_s", sort=True):
+                        due = float(due)
+                        if due > elapsed:
+                            sleeper(due - elapsed)
+                            elapsed = due
+                        yield fetch_frame(sub)
+                else:
+                    yield fetch_frame(b)
 
         return batch.mapInPandas(gen, schema=out_schema)

@@ -27,7 +27,8 @@ Scale design (10^10-URL frontier):
   traces match the oracle while seq assignment stays embarrassingly
   parallel. Field widths cover the advertised crawl scale: 2^24 =
   16.7M-url round budgets (the parallel top-k path's territory),
-  2^21 = 2M outlinks/page, 2^18 = 262k rounds.
+  2^21 = 2M outlinks/page, rounds < 2^18 (262k; round 2^18 itself
+  would overflow signed int64 — enforced in new_frontier_rows()).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ S_ROUND = 1 << 45
 S_RANK = 1 << 21
 MAX_RANK = S_ROUND // S_RANK  # 2^24 ranks per round
 MAX_POS = S_RANK              # 2^21 outlinks per page
+MAX_ROUND = 1 << 18           # round*S_ROUND must stay below 2^63
 
 CHILD_PRIORITY = 0.5  # pinned contract — see tests/oracle_sim.py
 SEED_PRIORITY = 1.0
@@ -174,7 +176,34 @@ def exact_ranked_topk(df: DataFrame, keys, k: int, partitions: int | None = None
     out_cols = [f.name for f in s.schema.fields if f.name != "__mid"]
     result = s.select(*out_cols, rank).filter(F.col("fetch_rank") < k)
     result._topk_cache = s
+    # contract for materialize_batch: ranks are valid only if the
+    # cached sort was NOT recomputed between the counts collect above
+    # and the caller's materialization (repartitionByRange sampling and
+    # monotonically_increasing_id are nondeterministic on recompute —
+    # cache eviction / executor loss would silently corrupt fetch
+    # order). Callers validate against this expectation and fail loudly.
+    result._topk_expected = min(k, acc)
     return result
+
+
+def materialize_batch(batch: DataFrame) -> int:
+    """Persist-fill + count a dequeue batch while VALIDATING the rank
+    assignment: n rows must carry ranks 0..n-1 (max == n-1) and match
+    the parallel top-k's expected count. A cached-sort recompute (cache
+    eviction, executor loss) breaks those invariants in practice —
+    raising beats silently fetching in the wrong order (r2 advice).
+    One Spark action, same cache-fill role as the old .count()."""
+    row = batch.agg(
+        F.count("*").alias("n"), F.max("fetch_rank").alias("m")
+    ).first()
+    n = int(row["n"])
+    exp = getattr(batch, "_topk_expected", None)
+    if n and (int(row["m"]) != n - 1 or (exp is not None and n != exp)):
+        raise RuntimeError(
+            f"dequeue rank validation failed: n={n}, max_rank={row['m']}, "
+            f"expected={exp} — cached top-k sort was likely recomputed"
+        )
+    return n
 
 
 def dequeue(
@@ -199,6 +228,12 @@ def dequeue(
         )
     keys = sort_keys(ordering)
     df = with_robots(queued, robots_df, robots_rows=robots_rows)
+    # fetch-time robots enforcement: with a static cache this is a
+    # no-op (merge already marked disallowed rows 'excluded'), but a
+    # TTL refresh can disallow a host AFTER its urls were queued — those
+    # rows must never be fetched again (RFC 9309 compliance is checked
+    # against the rules in force at fetch time, not enqueue time).
+    df = df.filter(~F.col("disallowed"))
     cap = politeness_cap_col(per_host_budget, round_seconds)
 
     # level 1: per-(host, salt) — defuses hot-host window skew.
@@ -287,7 +322,7 @@ def dequeue_banded(
             round_seconds, parallel_topk_threshold, robots_rows,
         )
         batch = batch.persist()
-        n = batch.count()
+        n = materialize_batch(batch)
         cache = getattr(batch, "_topk_cache", None)
         if cache is not None:
             cache.unpersist()
@@ -330,7 +365,7 @@ def dequeue_banded(
             robots_rows,
         )
         batch = batch.persist()
-        n = batch.count()
+        n = materialize_batch(batch)
         cache = getattr(batch, "_topk_cache", None)
         if cache is not None:
             cache.unpersist()
@@ -419,6 +454,12 @@ def new_frontier_rows(
     10^10-frontier scale, where link batches are overwhelmingly dupes.
 
     pomp analog: put_requests after middleware dedup (None -> drop)."""
+    if round_ >= MAX_ROUND:
+        raise ValueError(
+            f"round {round_} exceeds the seq round-field width "
+            f"({MAX_ROUND}): round*S_ROUND would overflow int64 and "
+            f"silently corrupt queue order"
+        )
     d = dedup_discoveries(discoveries)
     d = d.withColumn("url_hash", F.xxhash64("url"))
     if seen_filter is not None:

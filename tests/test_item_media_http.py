@@ -130,9 +130,11 @@ def test_http_fetcher_transport_failure_isolated(spark, tmp_path):
 
 def test_http_fetcher_politeness_slots(spark, tmp_path):
     """HttpFetcher paces by the politeness schedule: with a slot_s
-    column, each Arrow batch sleeps to its last due slot (injected
-    sleeper records the waits; fetch order within a batch follows the
-    schedule)."""
+    column, the Arrow batch is issued to transport in PER-SLOT
+    sub-batches, each slept to its due time — a batch-wide sleep would
+    hit one host with every same-host row of the batch at one instant
+    (r2 advice). Injected sleeper + transport-call accumulators record
+    the pacing."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -147,8 +149,12 @@ def test_http_fetcher_politeness_slots(spark, tmp_path):
     scheduled = schedule_slots(batch).coalesce(1)
 
     acc = spark.sparkContext.accumulator(0.0)
+    n_calls = spark.sparkContext.accumulator(0)
+    max_call = spark.sparkContext.accumulator(0)
 
     def fake_transport(urls: pd.Series) -> pd.DataFrame:
+        n_calls.add(1)
+        max_call.add(len(urls))  # sums; with equal-size calls: n*size
         return pd.DataFrame({
             "status": [200] * len(urls),
             "warc_ts": [pd.Timestamp("2026-01-01")] * len(urls),
@@ -159,8 +165,11 @@ def test_http_fetcher_politeness_slots(spark, tmp_path):
     f = HttpFetcher(transport=fake_transport, sleeper=acc.add)
     out = f.fetch(scheduled)
     assert out.count() == 6
-    # schedule: per host slots 0,2,4 -> the single batch sleeps to 4
+    # schedule: per host slots 0,2,4 -> sleeps 2 + 2 between slots
     assert abs(acc.value - 4.0) <= 1e-9
+    # per-slot sub-batches: 3 transport calls of 2 urls (one per host)
+    assert n_calls.value == 3
+    assert max_call.value == 6
 
 
 def test_ppm_bmp_real_decode(spark):

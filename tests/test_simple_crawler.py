@@ -320,3 +320,45 @@ def test_banded_dequeue_prunes_bands(spark, tmp_path):
     # late in the crawl many backlog bands exist; the last round read few
     assert n_bands >= 4
     assert 0 < eng.last_bands_read < n_bands
+
+
+def test_run_terminates_when_retries_become_undequeueable(spark, tmp_path):
+    """A pending retry whose host becomes robots-disallowed mid-crawl
+    can never be dequeued again; run(max_rounds=None) must not idle-spin
+    forever appending checkpoint rows (r2 advice: bound consecutive
+    idle rounds by retry_delay_rounds)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    # one seed host; its only page 503s forever (flaky > max_retries
+    # never reached because robots cuts in first)
+    pages = small_pages_df(spark).withColumn(
+        "flaky_fails",
+        F.when(F.col("url") == SMALL_SEED, F.lit(99)).otherwise(F.lit(0)),
+    )
+    eng = simulated_engine(
+        spark, str(tmp_path / "stuckretry"), pages,
+        ordering="bfs", per_round_budget=3, per_host_budget=2,
+        max_retries=5, retry_delay_rounds=2,
+    )
+    eng.seed([SMALL_SEED])
+    eng.run_round()  # attempt 1: 503 -> parked as retry
+    # robots flips: the seed's host is now fully disallowed
+    old = dt.datetime(2020, 1, 1)
+    eng.cat.overwrite("robots_cache", eng.cat.read("robots_cache").limit(0))
+    from pompspark.robots import build_robots_cache
+    host = SMALL_SEED.split("/")[2]
+    eng.cat.append("robots_cache", build_robots_cache(spark.createDataFrame(
+        pd.DataFrame({
+            "host": [host],
+            "robots_txt": ["User-agent: *\nDisallow: /"],
+            "fetched_ts": [dt.datetime(2026, 1, 1)],
+        })
+    )))
+    eng._reload_robots()
+    before = eng.round
+    eng.run(max_rounds=None)  # must return, not spin
+    # bounded idling: at most retry_delay_rounds+1 extra rounds
+    assert eng.round - before <= eng.retry_delay_rounds + 2
