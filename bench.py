@@ -77,6 +77,14 @@ def main() -> None:
     robots = bench_robots(spark).persist()
     robots.count()
     use_seen = os.environ.get("BENCH_SEEN", "0") == "1"
+    seen_mode = os.environ.get("BENCH_SEEN_MODE", "exact") if use_seen else "exact"
+    seen_shards = int(os.environ.get("BENCH_SEEN_SHARDS", "32"))
+    # BENCH_PRESEED=N simulates a MATURE crawl: N already-seen urls
+    # inflate the merge's exact-anti-join side (frontier_index) and the
+    # bloom contents before the timed rounds — the regime where the
+    # per-round index scan dominates and the approx seen filter's
+    # O(batch) merge wins (BENCH/BASELINE.md crossover table).
+    preseed = int(os.environ.get("BENCH_PRESEED", "0"))
     eng = simulated_engine(
         spark,
         os.path.join(workdir, "state"),
@@ -87,12 +95,31 @@ def main() -> None:
         per_host_budget=int(os.environ.get("BENCH_HOST_BUDGET", "5000")),
         compact_every=0,
         use_seen_filter=use_seen,
-        seen_shards=int(os.environ.get("BENCH_SEEN_SHARDS", "32")),
-        seen_capacity_per_shard=max(100_000, n_pages // 16),
+        seen_mode=seen_mode,
+        # approx mode never reads the identity index — skip maintaining it
+        use_bucketed_index=seen_mode != "approx",
+        seen_shards=seen_shards,
+        seen_capacity_per_shard=max(
+            100_000, n_pages // 16, preseed * 2 // seen_shards
+        ),
     )
     t0 = time.monotonic()
     eng.seed(seeds)
     timings["seed"] = round(time.monotonic() - t0, 3)
+    if preseed:
+        from pyspark.sql import functions as F
+
+        t0 = time.monotonic()
+        pre = spark.range(preseed).select(
+            F.concat(F.lit("http://pre.example/x"),
+                     F.col("id").cast("string")).alias("url")
+        ).select(F.xxhash64("url").alias("url_hash"), "url")
+        if eng.store.use_index:
+            eng.store.index_append(pre)
+        if eng.seen_filter is not None:
+            eng.seen_filter.add(pre.select("url_hash"))
+            eng.seen_filter.compact()
+        timings["preseed"] = round(time.monotonic() - t0, 3)
 
     # ---------------- warm-up -------------------------------------------
     # two rounds: spawn+warm all python workers, JIT the codegen, and
@@ -142,6 +169,7 @@ def main() -> None:
         "config": {
             "cpus": cpus, "n_pages": n_pages, "budget": budget,
             "timed_rounds": timed_rounds, "seen_filter": use_seen,
+            "seen_mode": seen_mode, "preseed": preseed,
         },
     }))
 

@@ -102,6 +102,7 @@ class CrawlEngine:
         use_seen_filter: bool = False,
         seen_shards: int = 16,
         seen_capacity_per_shard: int = 1_000_000,
+        seen_mode: str = "exact",
         use_bucketed_index: bool = True,
         index_buckets: int = 32,
         banded_dequeue: bool = False,
@@ -139,6 +140,9 @@ class CrawlEngine:
         self._reload_robots()
 
         self.seen_filter = None
+        if seen_mode not in ("exact", "approx"):
+            raise ValueError(f"seen_mode must be exact|approx, got {seen_mode!r}")
+        self.seen_mode = seen_mode
         if use_seen_filter:
             from pompspark.seen import SeenFilter
 
@@ -146,6 +150,8 @@ class CrawlEngine:
                 self.cat, n_shards=seen_shards,
                 capacity_per_shard=seen_capacity_per_shard,
             )
+        elif seen_mode == "approx":
+            raise ValueError("seen_mode='approx' requires use_seen_filter=True")
 
         self.round = 0
         self.urls_fetched_total = 0
@@ -473,6 +479,7 @@ class CrawlEngine:
         new_rows = new_frontier_rows(
             disc, self.store.identity_rows(), self.robots_df, r,
             seen_filter=self.seen_filter, robots_rows=self.robots_rows,
+            seen_exact=self.seen_mode == "exact",
         )
         # the append IS the materialization: n_new comes from the
         # committed files' footers, not a separate .count() action.

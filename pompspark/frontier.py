@@ -439,6 +439,7 @@ def new_frontier_rows(
     round_: int,
     seen_filter=None,
     robots_rows: int | None = None,
+    seen_exact: bool = True,
 ) -> DataFrame:
     """O2 merge: discoveries (url, host, depth, fetch_rank, pos) ->
     FRONTIER rows not already present. ``existing`` is the identity-row
@@ -448,10 +449,23 @@ def new_frontier_rows(
 
     With a ``seen_filter`` (pompspark.seen.SeenFilter), bloom-miss rows
     ("definitely new" — blooms have no false negatives) BYPASS the
-    exact anti-join; only maybe-seen rows (true dupes + the small FP
-    fraction) pay it. Exactness is preserved (SURVEY §7.4) while the
-    anti-join input shrinks by the dup fraction — the dominant cost at
-    10^10-frontier scale, where link batches are overwhelmingly dupes.
+    exact anti-join; what happens to maybe-seen rows depends on
+    ``seen_exact``:
+
+    - ``seen_exact=True`` (default): maybe-seen rows (true dupes + the
+      small FP fraction) pay the exact anti-join. Exactness preserved
+      (SURVEY §7.4). Note the honest cost model: in a MATURE crawl the
+      dup fraction approaches 1, so nearly every row is maybe-seen and
+      the anti-join input barely shrinks — the mode only helps while
+      discoveries are mostly new.
+    - ``seen_exact=False`` (approximate): maybe-seen rows are DROPPED
+      without confirmation. No frontier-index scan at all — the
+      merge's cost becomes O(batch) regardless of frontier size, which
+      is the 10^10-frontier scale path. The price: a genuinely-new url
+      that bloom-collides is never crawled, bounded by the filter's
+      fp_rate (default 1%; real crawl frontiers accept this — a bloom
+      "URL-seen test" is the standard design). Keep ``existing``
+      unneeded by passing any DataFrame; it is not read.
 
     pomp analog: put_requests after middleware dedup (None -> drop)."""
     if round_ >= MAX_ROUND:
@@ -465,9 +479,12 @@ def new_frontier_rows(
     if seen_filter is not None:
         d = seen_filter.maybe_seen_col(d, "url_hash")
         definitely_new = d.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = d.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = _anti_join_existing(maybe, existing)
-        fresh = definitely_new.unionByName(survivors)
+        if seen_exact:
+            maybe = d.filter(F.col("maybe_seen")).drop("maybe_seen")
+            survivors = _anti_join_existing(maybe, existing)
+            fresh = definitely_new.unionByName(survivors)
+        else:
+            fresh = definitely_new
     else:
         fresh = _anti_join_existing(d, existing)
     fresh = with_robots(fresh, robots_df, robots_rows=robots_rows)

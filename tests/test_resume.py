@@ -84,3 +84,32 @@ def test_seen_filter_preserves_trace(spark, tmp_path):
 
     assert _trace_tuples(filtered) == _trace_tuples(plain)
     assert filtered.cat.read("seen").count() > 0
+
+
+def test_seen_approx_mode_matches_exact_on_small_web(spark, tmp_path):
+    """seen_mode='approx' drops bloom-hit discoveries WITHOUT the exact
+    anti-join confirmation (the O(batch)-merge scale path). On a small
+    web with an amply-sized bloom there are no false positives, so the
+    trace must equal the exact run's — and the merge must not read the
+    frontier index at all (use_bucketed_index=False works)."""
+    plain = _engine(spark, str(tmp_path / "pl"))
+    plain.seed([SMALL_SEED])
+    plain.run(max_rounds=100)
+
+    approx = _engine(
+        spark, str(tmp_path / "ap"),
+        use_seen_filter=True, seen_shards=4, seen_capacity_per_shard=10_000,
+        seen_mode="approx", use_bucketed_index=False,
+    )
+    approx.seed([SMALL_SEED])
+    approx.run(max_rounds=100)
+
+    assert _trace_tuples(approx) == _trace_tuples(plain)
+    assert approx.cat.read("seen").count() > 0
+
+
+def test_seen_approx_requires_filter(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        _engine(spark, str(tmp_path / "bad"), seen_mode="approx")
