@@ -184,6 +184,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard for candidate pairs (the LSH verify
+    stage) — all JVM-side: split/sequence/slice shingling,
+    array_intersect/array_union sizes. Deterministic pairing
+    (doc_id, doc_id+1) stands in for an LSH candidate list so DuckDB
+    can replicate it."""
+    from pompspark.textops import ngram_jaccard_pairs
+
+    d = _documents(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return (
+        ngram_jaccard_pairs(d, pairs, n=3)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -390,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_budget": q_politeness_budget,
         "canonicalize": q_canonicalize,
         "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -559,6 +579,25 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS rep_doc_id,
                    COUNT(*) AS n_dupes
             FROM documents GROUP BY MD5(text)
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), s AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 3 THEN
+                           list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+                FROM t
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a
         """,
         "text_quality": """
             SELECT doc_id,

@@ -85,6 +85,13 @@ def main() -> None:
     # per-round index scan dominates and the approx seen filter's
     # O(batch) merge wins (BENCH/BASELINE.md crossover table).
     preseed = int(os.environ.get("BENCH_PRESEED", "0"))
+    # BENCH_BANDED=1: band-pruned dequeue (the 10^10-frontier dequeue
+    # story — read sort-key-prefix bands until the budget fills instead
+    # of scanning the whole queued frontier). Needs a banded compacted
+    # layout to prune, so pair with BENCH_COMPACT_EVERY (compaction
+    # during warm-up builds the bands the timed rounds then skip).
+    banded = os.environ.get("BENCH_BANDED", "0") == "1"
+    compact_every = int(os.environ.get("BENCH_COMPACT_EVERY", "0"))
     eng = simulated_engine(
         spark,
         os.path.join(workdir, "state"),
@@ -93,7 +100,8 @@ def main() -> None:
         ordering="bfs",
         per_round_budget=budget,
         per_host_budget=int(os.environ.get("BENCH_HOST_BUDGET", "5000")),
-        compact_every=0,
+        compact_every=compact_every,
+        banded_dequeue=banded,
         use_seen_filter=use_seen,
         seen_mode=seen_mode,
         # approx mode never reads the identity index — skip maintaining it
@@ -142,6 +150,8 @@ def main() -> None:
         r0 = time.monotonic()
         n = eng.run_round()
         stage_timings[f"round_{i + 1}"] = dict(eng.last_round_timings)
+        if banded:
+            stage_timings[f"round_{i + 1}"]["bands_read"] = eng.last_bands_read
         if sync_each:
             # flush INSIDE the timed window: each round writes ~GBs of
             # parquet; letting dirty pages pile up produces a single
@@ -170,6 +180,7 @@ def main() -> None:
             "cpus": cpus, "n_pages": n_pages, "budget": budget,
             "timed_rounds": timed_rounds, "seen_filter": use_seen,
             "seen_mode": seen_mode, "preseed": preseed,
+            "banded": banded, "compact_every": compact_every,
         },
     }))
 

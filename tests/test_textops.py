@@ -295,3 +295,43 @@ def test_simhash_near_dup_bucket_cap(spark):
              for r in simhash_near_dup(df, k=2, max_bucket_size=10).collect()}
     assert (100, 101) in pairs
     assert not any(a < 100 for a, _ in pairs)
+
+
+def test_ngram_jaccard_pairs_jvm_matches_python(spark):
+    """JVM-side pair Jaccard (ngram_jaccard_pairs) agrees with a direct
+    python set computation on the SAME tokenization (split-on-ws word
+    trigrams, distinct), including the <n-token whole-text fallback."""
+    from pompspark.textops import ngram_jaccard_pairs
+
+    texts = {
+        0: f"{BASE} variant 0",
+        1: f"{BASE} variant 0",            # exact dup of 0
+        2: f"{BASE} variant 1 extra",      # near dup
+        3: "totally different words here",
+        4: "tiny",                          # < n tokens -> whole-text shingle
+        5: "tiny",
+    }
+    df = spark.createDataFrame(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, pairs, n=3).collect()
+    }
+
+    def sh(t):
+        toks = t.split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    for (a, b), j in got.items():
+        sa, sb = sh(texts[a]), sh(texts[b])
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert got[(0, 1)] == 1.0
+    assert got[(4, 5)] == 1.0
+    assert got[(2, 3)] == 0.0
+    assert 0.5 < got[(1, 2)] < 1.0
