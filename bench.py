@@ -144,6 +144,7 @@ def main() -> None:
     # ---------------- timed rounds --------------------------------------
     sync_each = os.environ.get("BENCH_SYNC_ROUNDS", "1") == "1"
     fetched = 0
+    round_fetches: list[int] = []
     stage_timings: dict[str, dict] = {}
     t_start = time.monotonic()
     for i in range(timed_rounds):
@@ -161,10 +162,22 @@ def main() -> None:
             os.sync()
         timings[f"round_{i + 1}"] = round(time.monotonic() - r0, 3)
         fetched += n
+        round_fetches.append(n)
         if n == 0:
             break
     total = time.monotonic() - t_start
     urls_per_sec = fetched / total if total > 0 else 0.0
+    # per-round throughput + median: this host's run-to-run noise is
+    # real (shared VM — a single straggler round can halve the total-
+    # based headline); the median round is the robust steady-state
+    # number. Headline semantics unchanged (urls_per_sec stays
+    # fetched/total for r1/r2 comparability).
+    round_rates = [
+        round(n / timings[f"round_{i + 1}"], 1)
+        for i, n in enumerate(round_fetches)
+        if timings.get(f"round_{i + 1}", 0) > 0
+    ]
+    med = sorted(round_rates)[len(round_rates) // 2] if round_rates else 0.0
 
     spark.stop()
     print(json.dumps({
@@ -175,6 +188,8 @@ def main() -> None:
         "sf": sf,
         "urls_fetched": fetched,
         "urls_per_sec": round(urls_per_sec, 1),
+        "round_urls_per_sec": round_rates,
+        "urls_per_sec_median_round": med,
         "stage_timings": stage_timings,
         "config": {
             "cpus": cpus, "n_pages": n_pages, "budget": budget,

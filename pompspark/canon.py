@@ -136,9 +136,8 @@ def canonicalize(url: str, base: str | None = None) -> str | None:
 # segments; no '%', so no pct-normalization; no '?'/'#'). For such u,
 # canonicalize(u) == u, so the slow urllib path can be skipped. The
 # idempotence property test fuzzes this equivalence.
-_CANONICAL_RE = re.compile(
-    r"^https?://[a-z0-9-]+(?:\.[a-z0-9-]+)+/[a-z0-9/_\-~]*$"
-)
+CANONICAL_PATTERN = r"^https?://[a-z0-9-]+(?:\.[a-z0-9-]+)+/[a-z0-9/_\-~]*$"
+_CANONICAL_RE = re.compile(CANONICAL_PATTERN)
 
 
 def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.Series:
@@ -147,21 +146,22 @@ def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.S
     after the first normalization) take a vectorized regex fast path;
     only the remainder pays the per-string urllib cost."""
     fast = urls.str.match(_CANONICAL_RE, na=False)
+    # nulls skip the per-string loop entirely: the engine's JVM-side
+    # fast path nulls out already-canonical hrefs before the UDF call,
+    # so most batch rows arrive null — looping over them would undo
+    # the saving.
     if bases is None:
         out = urls.where(fast, None)
-        slow_idx = urls.index[~fast]
+        slow_idx = urls.index[~fast & urls.notna()]
         if len(slow_idx):
-            out.loc[slow_idx] = [
-                canonicalize(u) if u is not None else None
-                for u in urls.loc[slow_idx]
-            ]
+            out.loc[slow_idx] = [canonicalize(u) for u in urls.loc[slow_idx]]
         return out
     # relative resolution never applies to absolute canonical urls
     out = urls.where(fast, None)
-    slow_idx = urls.index[~fast]
+    slow_idx = urls.index[~fast & urls.notna()]
     if len(slow_idx):
         out.loc[slow_idx] = [
-            canonicalize(u, b) if u is not None else None
+            canonicalize(u, b)
             for u, b in zip(urls.loc[slow_idx], bases.loc[slow_idx])
         ]
     return out
@@ -177,7 +177,11 @@ def host_of(url: str | None) -> str | None:
 
 
 def host_series(urls: pd.Series) -> pd.Series:
-    return urls.map(host_of)
+    out = pd.Series(None, index=urls.index, dtype=object)
+    nn = urls.notna()
+    if nn.any():
+        out.loc[nn] = urls.loc[nn].map(host_of)
+    return out
 
 
 # ---------------------------------------------------------------- Spark side

@@ -63,23 +63,34 @@ def _metrics_rows(round_dir: str, round_: int, n_new: int,
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    rows = []
+    from concurrent.futures import ThreadPoolExecutor
+
     files = sorted(
         _glob.glob(_os.path.join(round_dir, "**", "*.parquet"), recursive=True)
     )
-    for i, f in enumerate(files):
+
+    def _one(f: str) -> tuple[int, int]:
         t = pq.read_table(f, columns=["status", "n_bytes"])
         if t.num_rows == 0:
-            continue
+            return 0, 0
         ok = pc.sum(
             pc.if_else(pc.equal(t["status"], 200), t["n_bytes"], 0)
         ).as_py() or 0
-        rows.append({
+        return t.num_rows, int(ok)
+
+    # pyarrow releases the GIL: thread-pool the per-file reads (hundreds
+    # of small files; serial cold reads cost multiple seconds per round)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        stats = list(pool.map(_one, files))
+    return [
+        {
             "round": round_, "partition_id": i,
-            "urls_fetched": t.num_rows, "urls_new": n_new,
-            "bytes": int(ok), "wall_ms": wall_ms,
-        })
-    return rows
+            "urls_fetched": n, "urls_new": n_new,
+            "bytes": ok, "wall_ms": wall_ms,
+        }
+        for i, (n, ok) in enumerate(stats)
+        if n
+    ]
 
 
 class CrawlEngine:
@@ -462,15 +473,40 @@ class CrawlEngine:
         metrics_thread.start()
 
         # discoveries -> canonicalize -> dedup -> anti-join -> merge (O9/O2)
+        # JVM fast path: hrefs matching CANONICAL_PATTERN are provably
+        # canonicalize() fixed points (canon.py) — they never enter the
+        # pandas UDF (the rlike + regexp_extract run in codegen; the
+        # UDF sees NULL for them, and canonicalize_series skips nulls),
+        # so Arrow ships only the slow minority. On real crawl link
+        # batches the fast fraction dominates after the first
+        # normalization pass.
+        from pompspark.canon import CANONICAL_PATTERN
+
         _, canon_base_udf, host_udf = register_udfs()
+        is_fast = F.col("href").rlike(CANONICAL_PATTERN)
+        slow_href = F.when(is_fast, F.lit(None).cast("string")).otherwise(
+            F.col("href")
+        )
+        child = F.coalesce(
+            F.when(is_fast, F.col("href")), canon_base_udf(slow_href, F.col("url"))
+        )
         disc = (
             round_df.filter(F.col("status") == 200)
             .select("url", "depth", "fetch_rank", F.posexplode("links").alias("pos", "href"))
-            .withColumn("child", canon_base_udf("href", "url"))
+            .withColumn("__fast", is_fast)
+            .withColumn("child", child)
             .filter(F.col("child").isNotNull())
             .select(
                 F.col("child").alias("url"),
-                host_udf("child").alias("host"),
+                F.when(
+                    F.col("__fast"),
+                    F.regexp_extract("child", r"^https?://([^/]+)", 1),
+                ).otherwise(
+                    host_udf(
+                        F.when(F.col("__fast"), F.lit(None).cast("string"))
+                        .otherwise(F.col("child"))
+                    )
+                ).alias("host"),
                 (F.col("depth") + 1).alias("depth"),
                 "fetch_rank", "pos",
             )
@@ -494,6 +530,9 @@ class CrawlEngine:
                 self.store.index_append(new_back)
             if self.seen_filter is not None:
                 self.seen_filter.add(new_back.select("url_hash"))
+                # bound delta accrual independently of compact_every:
+                # broadcast-path membership is O(delta dirs) per round
+                self.seen_filter.maybe_compact()
         elif self.store.use_index:
             self.store._write_marker()  # version advanced by the append
 

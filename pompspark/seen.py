@@ -235,7 +235,25 @@ def _blob_contains(kind: str, nbits: int, nhashes: int, blob: bytes,
                    keys: np.ndarray) -> np.ndarray:
     if kind == "bloom":
         return Bloom.from_bytes(nbits, nhashes, blob).contains(keys)
+    if kind == "bloomsp":
+        # sparse delta: blob = sorted uint32 set-bit positions. Probe
+        # directly against the position set (no bitmap materialized).
+        sp = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _probes(np.asarray(keys, dtype=np.int64), nbits, nhashes)
+        return np.isin(pos, sp).all(axis=1)
     return Cuckoo.from_bytes(nbits // (Cuckoo.SLOTS * 16), blob).contains(keys)
+
+
+def _or_blob_into(bits: np.ndarray, kind: str, blob: bytes) -> None:
+    """OR a dense ('bloom') or sparse ('bloomsp') delta into a dense
+    bit array in place."""
+    if kind == "bloom":
+        bits |= np.frombuffer(blob, dtype=np.uint8)
+    else:
+        pos = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
 class SeenFilter:
@@ -281,6 +299,15 @@ class SeenFilter:
         self.fp_rate = fp_rate
         self.kind = kind
         self.broadcast_bytes_max = broadcast_bytes_max
+        # broadcast-path incremental cache: driver-side OR-merged blobs
+        # and the snapshot dirs they reflect. Each round only the NEW
+        # delta dirs are read and OR'd in — without this the broadcast
+        # path re-collects EVERY blob every round (O(rounds x table)
+        # driver IO; measured as the dominant approx-merge cost).
+        self._merged: dict[int, list] | None = None
+        self._cache_dirs: set[str] = set()
+        self._cache_version: int = -1
+        self._bcast = None
         cat.create("seen", schemas.SEEN)
 
     # -------------------------------------------------------------- update
@@ -303,6 +330,21 @@ class SeenFilter:
             shard = int(pdf["shard"].iloc[0])
             keys = pdf["key"].to_numpy(dtype=np.int64)
             if kind == "bloom":
+                # SPARSE delta when cheaper: a round's batch sets at
+                # most |batch|*k bits of the capacity-sized array —
+                # writing the full bitmap per round is O(capacity) IO
+                # regardless of batch size (12.5 GB/round at 10^10
+                # keys). Store sorted uint32 set-bit positions instead
+                # when that is smaller; membership and compaction
+                # understand both ('bloomsp' in _blob_contains /
+                # _or_blob_into).
+                pos = np.unique(_probes(keys, nbits, k).reshape(-1))
+                if len(pos) * 4 < nbits // 8:
+                    return pd.DataFrame({
+                        "shard": [shard], "kind": ["bloomsp"],
+                        "nbits": [nbits], "nhashes": [k],
+                        "filter": [pos.astype(np.uint32).tobytes()],
+                    })
                 f = Bloom(nbits, k)
                 f.add(keys)
                 payload, nb, nh = f.to_bytes(), nbits, k
@@ -327,16 +369,15 @@ class SeenFilter:
         def merge(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf["shard"].iloc[0])
             kinds = pdf["kind"].tolist()
-            if all(kd == "bloom" for kd in kinds):
+            if all(kd in ("bloom", "bloomsp") for kd in kinds):
                 nb = int(pdf["nbits"].iloc[0])
                 nh = int(pdf["nhashes"].iloc[0])
-                acc = Bloom(nb, nh)
-                for blob in pdf["filter"]:
-                    acc = acc.merge(Bloom.from_bytes(nb, nh, bytes(blob)))
-                payload = acc.to_bytes()
+                bits = np.zeros(nb // 8, dtype=np.uint8)
+                for kd, blob in zip(kinds, pdf["filter"]):
+                    _or_blob_into(bits, kd, bytes(blob))
                 return pd.DataFrame({
                     "shard": [shard], "kind": ["bloom"], "nbits": [nb],
-                    "nhashes": [nh], "filter": [payload],
+                    "nhashes": [nh], "filter": [bits.tobytes()],
                 })
             # cuckoo: re-insert every occupied (bucket, fp) slot into
             # one table (alt bucket is derivable from (bucket, fp)).
@@ -356,6 +397,20 @@ class SeenFilter:
             merge, schema=schemas.SEEN
         )
         self.cat.overwrite("seen", merged)
+        # compaction rewrote the dirs the cache reflects; next use
+        # re-reads the single merged dir (cheap) instead of guessing.
+        self._merged, self._cache_dirs, self._cache_version = None, set(), -1
+
+    def maybe_compact(self, max_dirs: int = 8) -> bool:
+        """Compact when delta dirs accrete past ``max_dirs`` —
+        decoupled from frontier compaction so a long crawl with
+        compact_every=0 still bounds per-shard blob counts (the
+        membership cost is O(deltas per shard))."""
+        v = self.cat.current_version("seen")
+        if len(self.cat._read_snapshot("seen", v)["dirs"]) <= max_dirs:
+            return False
+        self.compact()
+        return True
 
     # ------------------------------------------------------------ prefilter
     def table_bytes(self) -> int:
@@ -379,35 +434,92 @@ class SeenFilter:
         by on-disk table size."""
         from pyspark.sql import functions as F
 
-        if self.table_bytes() <= self.broadcast_bytes_max:
+        # the broadcast payload is the MERGED dense bitmap (n_shards x
+        # nbits/8) — sparse deltas make on-disk size an underestimate,
+        # so gate on whichever is larger.
+        nbits, _k = bloom_params(self.capacity, self.fp_rate)
+        merged_bytes = self.n_shards * (nbits // 8) if self.kind == "bloom" else 0
+        if max(self.table_bytes(), merged_bytes) <= self.broadcast_bytes_max:
             return self._maybe_seen_broadcast(df, hash_col)
         return self.maybe_seen_join(df, hash_col)
+
+    def _read_blob_rows(self, dirs: list[str]):
+        """Driver-side pyarrow read of delta-blob rows from snapshot
+        data dirs (local-fs paths; at object-store scale this is a
+        bounded manifest-sized read — one small file-set per delta)."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        for d in dirs:
+            base = _os.path.join(self.cat._tdir("seen"), d)
+            for f in sorted(
+                _glob.glob(_os.path.join(base, "**", "*.parquet"), recursive=True)
+            ):
+                t = pq.read_table(
+                    f, columns=["shard", "kind", "nbits", "nhashes", "filter"]
+                )
+                for i in range(t.num_rows):
+                    yield (
+                        int(t["shard"][i].as_py()), t["kind"][i].as_py(),
+                        int(t["nbits"][i].as_py()), int(t["nhashes"][i].as_py()),
+                        t["filter"][i].as_py(),
+                    )
+
+    def _merged_blobs(self) -> dict[int, list]:
+        """Per-shard OR-merged blob lists, incrementally maintained:
+        only snapshot dirs not yet reflected in the cache are read.
+        A rollback (cached dir no longer referenced) rebuilds cold —
+        an over-approximating stale cache would silently drop
+        genuinely-new urls in approx mode."""
+        v = self.cat.current_version("seen")
+        if v == self._cache_version and self._merged is not None:
+            return self._merged
+        snap = self.cat._read_snapshot("seen", v)
+        cur = set(snap["dirs"])
+        if self._merged is None or not self._cache_dirs <= cur:
+            self._merged, self._cache_dirs = {}, set()
+        new_dirs = sorted(cur - self._cache_dirs)
+        for s, kind, nb, nh, blob in self._read_blob_rows(new_dirs):
+            lst = self._merged.setdefault(s, [])
+            if kind in ("bloom", "bloomsp") and (
+                not lst or (lst[0][0] == "bloom" and lst[0][1] == nb)
+            ):
+                bits = (
+                    np.frombuffer(lst[0][3], dtype=np.uint8).copy()
+                    if lst else np.zeros(nb // 8, dtype=np.uint8)
+                )
+                _or_blob_into(bits, kind, bytes(blob))
+                entry = ("bloom", nb, nh, bits.tobytes())
+                if lst:
+                    lst[0] = entry
+                else:
+                    lst.append(entry)
+            else:
+                lst.append((kind, nb, nh, bytes(blob)))
+        self._cache_dirs |= set(new_dirs)
+        self._cache_version = v
+        return self._merged
 
     def _maybe_seen_broadcast(self, df, hash_col: str):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        rows = self.cat.read("seen").collect()
-        blobs: dict[int, list] = {}
-        for r in rows:
-            blobs.setdefault(r.shard, []).append(
-                (r.kind, int(r.nbits), int(r.nhashes), bytes(r.filter))
-            )
-        # OR-merge uniform blooms per shard once, driver-side (bounded
-        # by broadcast_bytes_max); heterogenous lists stay as lists.
-        merged: dict[int, list] = {}
-        for s, lst in blobs.items():
-            if all(e[0] == "bloom" for e in lst) and len({e[1] for e in lst}) == 1:
-                nb, nh = lst[0][1], lst[0][2]
-                bits = np.zeros(nb // 8, dtype=np.uint8)
-                for _, _, _, blob in lst:
-                    bits |= np.frombuffer(blob, dtype=np.uint8)
-                merged[s] = [("bloom", nb, nh, bits.tobytes())]
-            else:
-                merged[s] = lst
+        merged = self._merged_blobs()
         if not merged:
             return df.withColumn("maybe_seen", F.lit(False))
-        b = self.cat.spark.sparkContext.broadcast(merged)
+        if self._bcast is not None and self._bcast[0] == self._cache_version:
+            b = self._bcast[1]
+        else:
+            if self._bcast is not None:
+                # previous round's jobs are done; free the old blobs
+                try:
+                    self._bcast[1].unpersist()
+                except Exception:
+                    pass
+            b = self.cat.spark.sparkContext.broadcast(merged)
+            self._bcast = (self._cache_version, b)
         n_shards = self.n_shards
 
         @F.pandas_udf(T.BooleanType())

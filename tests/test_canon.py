@@ -74,3 +74,39 @@ def test_canonicalize_udf(spark):
 
     hashed = df.limit(1).select(url_hash_col(F.col("url"))).collect()
     assert isinstance(hashed[0].url_hash, int)
+
+
+def test_canonical_pattern_implies_fixed_point():
+    """Soundness of the JVM fast path (engine.py merge): any url
+    matching CANONICAL_PATTERN must be a canonicalize() fixed point,
+    since such urls skip the UDF entirely."""
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from pompspark.canon import CANONICAL_PATTERN, canonicalize
+
+    pat = re.compile(CANONICAL_PATTERN)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet="abcz09-._~/%?#ABC:@ ", min_size=0, max_size=30
+        ).map(lambda s: "http://h0.example/" + s),
+        st.sampled_from([
+            "http://h0042.example/p17",
+            "https://a-b.c-d.example/x/y_z-~",
+            "http://a.b/",
+            "HTTP://A.b/p",           # must NOT match (uppercase scheme)
+            "http://a.b/p?q=1",        # must NOT match (query)
+            "http://a.b/p%41",         # must NOT match (pct)
+            "http://a.b/./p",          # must NOT match ('.' excluded)
+            "http://a.b:80/p",         # must NOT match (port)
+        ]),
+    )
+    def check(fuzzed, fixed):
+        for u in (fuzzed, fixed):
+            if pat.match(u):
+                assert canonicalize(u) == u, u
+
+    check()

@@ -123,3 +123,59 @@ def test_seen_filter_join_path_forced_by_size(spark, tmp_path):
     assert sf.table_bytes() > 1
     flags = sf.maybe_seen_col(df1).select("maybe_seen").collect()
     assert all(r.maybe_seen for r in flags)
+
+
+def test_sparse_deltas_small_batch(spark, tmp_path):
+    """A batch much smaller than capacity writes a SPARSE delta
+    ('bloomsp': set-bit positions, O(batch) bytes) — membership via
+    broadcast and shard-join agree with it, compaction folds it into
+    a dense blob, and flags are unchanged throughout."""
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=1_000_000)
+    small = spark.range(0, 1_000).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash")
+    probe = spark.range(0, 3_000).selectExpr(
+        "xxhash64(cast(id as string)) as url_hash", "id as tag")
+    sf.add(small)
+    kinds = {r.kind for r in cat.read("seen").select("kind").collect()}
+    assert kinds == {"bloomsp"}
+    # sparse delta is O(batch), not O(capacity)
+    nbits, _ = bloom_params(1_000_000, 0.01)
+    assert sf.table_bytes() < nbits // 8  # well under ONE dense shard blob
+    via_b = {r.tag: r.maybe_seen
+             for r in sf._maybe_seen_broadcast(probe, "url_hash").collect()}
+    via_j = {r.tag: r.maybe_seen
+             for r in sf.maybe_seen_join(probe, "url_hash").collect()}
+    assert via_b == via_j
+    assert all(via_b[t] for t in range(1_000))           # no false negatives
+    fp = sum(via_b[t] for t in range(1_000, 3_000)) / 2_000
+    assert fp <= 0.05
+    # compact folds sparse -> dense, membership identical
+    sf.compact()
+    kinds = {r.kind for r in cat.read("seen").select("kind").collect()}
+    assert kinds == {"bloom"}
+    after = {r.tag: r.maybe_seen
+             for r in sf.maybe_seen_col(probe, "url_hash").collect()}
+    assert after == via_b
+
+
+def test_broadcast_cache_incremental(spark, tmp_path):
+    """The broadcast-path driver cache only reads NEW delta dirs per
+    round and stays correct across add/compact cycles."""
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=100_000)
+    a = spark.range(0, 500).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    b = spark.range(500, 1_000).selectExpr("xxhash64(cast(id as string)) as url_hash")
+    sf.add(a)
+    assert all(r.maybe_seen for r in sf._maybe_seen_broadcast(a, "url_hash").collect())
+    v1, dirs1 = sf._cache_version, set(sf._cache_dirs)
+    sf.add(b)
+    assert all(r.maybe_seen for r in sf._maybe_seen_broadcast(b, "url_hash").collect())
+    # incremental: cache advanced by exactly the new dir(s), old kept
+    assert sf._cache_version > v1
+    assert dirs1 <= sf._cache_dirs
+    sf.compact()  # invalidates; next use rebuilds from the merged dir
+    assert sf._merged is None
+    flags = sf._maybe_seen_broadcast(a.unionAll(b), "url_hash").collect()
+    assert all(r.maybe_seen for r in flags)
+    assert len(sf._cache_dirs) == 1
