@@ -203,6 +203,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite document fingerprint, oracled twin of
+    textops.fingerprint: min hash over sliding 16-char windows
+    (stride 8). The engine variant uses xxhash64 (JVM-only); this twin
+    uses md5 so DuckDB computes the identical value — same plan shape
+    (sequence/transform/array_min, zero Python)."""
+    d = _documents(spark, sf_dir)
+    t = F.col("text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), (F.length(t) - 15).cast("int")), F.lit(8)
+    )
+    hashes = F.transform(starts, lambda i: F.md5(F.substring(t, i, 16)))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint_md5"),
+    ).orderBy("doc_id")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -410,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -579,6 +598,15 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS rep_doc_id,
                    COUNT(*) AS n_dupes
             FROM documents GROUP BY MD5(text)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       range(1, greatest(1, length(text) - 15) + 1, 8),
+                       i -> md5(substring(text, i, 16))
+                   )) AS fingerprint_md5
+            FROM documents
+            ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": r"""
             WITH t AS (
