@@ -166,8 +166,17 @@ SCALE_SECONDARY=1 to also run and report 8->32.
 {secondary_md}"""
     out_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # carry over hand-authored sections (crossover tables, host
+    # calibration, ...) below the marker — a re-run must not wipe them
+    marker = "<!-- MANUAL SECTIONS (preserved by scaling.py) -->"
+    manual = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            manual = prev.split(marker, 1)[1]
     with open(out_path, "w") as f:
         f.write(doc)
+        f.write(f"\n{marker}\n{manual}")
     print(json.dumps(result))
 
 
