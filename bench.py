@@ -18,10 +18,37 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Crash tolerance: BENCH_r03 was a zero record because a host flake
+# (one crashed Python worker) burned the driver's timeout and nothing
+# was printed. Every completed stage/round now lands in _PARTIAL, and
+# any exception OR SIGTERM (what `timeout` sends) emits it as a JSON
+# line with an "error" field — a flake degrades the record, never
+# zeroes it.
+_PARTIAL: dict = {
+    "metric": "crawl_fetch_extract_merge_total_sec",
+    "value": None,
+    "unit": "sec",
+    "queries": {},
+    "partial": True,
+}
+
+
+def _emit_partial(reason: str) -> None:
+    out = dict(_PARTIAL)
+    out["error"] = reason
+    print(json.dumps(out), flush=True)
+
+
+def _sigterm(_signo, _frame):
+    _emit_partial("sigterm_timeout")
+    os._exit(143)
 
 
 def main() -> None:
@@ -34,6 +61,8 @@ def main() -> None:
         "BENCH_WORKDIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _PARTIAL["sf"] = sf
+    _PARTIAL["config"] = {"cpus": cpus, "n_pages": n_pages, "budget": budget}
 
     from pompspark.benchgen import bench_robots, bench_seed_urls, build_bench_pages
     from pompspark.engine import simulated_engine
@@ -48,7 +77,7 @@ def main() -> None:
         extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = _PARTIAL["queries"]
 
     # ---------------- untimed setup: generate + persist the web ---------
     shutil.rmtree(workdir, ignore_errors=True)
@@ -163,6 +192,8 @@ def main() -> None:
         timings[f"round_{i + 1}"] = round(time.monotonic() - r0, 3)
         fetched += n
         round_fetches.append(n)
+        _PARTIAL["urls_fetched"] = fetched
+        _PARTIAL["rounds_completed"] = i + 1
         if n == 0:
             break
     total = time.monotonic() - t_start
@@ -177,7 +208,7 @@ def main() -> None:
         for i, n in enumerate(round_fetches)
         if timings.get(f"round_{i + 1}", 0) > 0
     ]
-    med = sorted(round_rates)[len(round_rates) // 2] if round_rates else 0.0
+    med = round(statistics.median(round_rates), 1) if round_rates else 0.0
 
     spark.stop()
     print(json.dumps({
@@ -201,4 +232,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    signal.signal(signal.SIGTERM, _sigterm)
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — partial record on ANY crash
+        _emit_partial(f"{type(e).__name__}: {e}")
+        raise

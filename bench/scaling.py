@@ -176,7 +176,10 @@ SCALE_SECONDARY=1 to also run and report 8->32.
             manual = prev.split(marker, 1)[1]
     with open(out_path, "w") as f:
         f.write(doc)
-        f.write(f"\n{marker}\n{manual}")
+        # lstrip the captured section: it starts with the newline(s)
+        # that followed the marker on the previous write — re-adding
+        # "\n" after the marker would accrete one blank line per run.
+        f.write(f"\n{marker}\n{manual.lstrip(chr(10))}")
     print(json.dumps(result))
 
 

@@ -231,14 +231,25 @@ class Cuckoo:
 # ------------------------------------------------------------ Spark surface
 
 
+def _sparse_dtype(nbits: int):
+    """Position dtype for 'bloomsp' sparse deltas. bloom_params gives
+    nbits >= 2^32 once capacity_per_shard exceeds ~4.5e8 (the 10^10-key
+    regime this path targets); uint32 positions would silently wrap mod
+    2^32 there, producing bloom FALSE NEGATIVES — which breaks the
+    module's core safety invariant ('definitely new' skips the exact
+    anti-join). Positions < 2^32 stay uint32 (half the bytes)."""
+    return np.uint32 if nbits <= (1 << 32) else np.uint64
+
+
 def _blob_contains(kind: str, nbits: int, nhashes: int, blob: bytes,
                    keys: np.ndarray) -> np.ndarray:
     if kind == "bloom":
         return Bloom.from_bytes(nbits, nhashes, blob).contains(keys)
     if kind == "bloomsp":
-        # sparse delta: blob = sorted uint32 set-bit positions. Probe
-        # directly against the position set (no bitmap materialized).
-        sp = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
+        # sparse delta: blob = sorted set-bit positions (dtype derived
+        # from nbits — see _sparse_dtype). Probe directly against the
+        # position set (no bitmap materialized).
+        sp = np.frombuffer(blob, dtype=_sparse_dtype(nbits)).astype(np.int64)
         if len(keys) == 0:
             return np.zeros(0, dtype=bool)
         pos = _probes(np.asarray(keys, dtype=np.int64), nbits, nhashes)
@@ -248,11 +259,12 @@ def _blob_contains(kind: str, nbits: int, nhashes: int, blob: bytes,
 
 def _or_blob_into(bits: np.ndarray, kind: str, blob: bytes) -> None:
     """OR a dense ('bloom') or sparse ('bloomsp') delta into a dense
-    bit array in place."""
+    bit array in place. nbits is recovered from the dense target
+    (len(bits)*8) to pick the sparse-position dtype."""
     if kind == "bloom":
         bits |= np.frombuffer(blob, dtype=np.uint8)
     else:
-        pos = np.frombuffer(blob, dtype=np.uint32).astype(np.int64)
+        pos = np.frombuffer(blob, dtype=_sparse_dtype(len(bits) * 8)).astype(np.int64)
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
 
 
@@ -339,11 +351,12 @@ class SeenFilter:
                 # understand both ('bloomsp' in _blob_contains /
                 # _or_blob_into).
                 pos = np.unique(_probes(keys, nbits, k).reshape(-1))
-                if len(pos) * 4 < nbits // 8:
+                dt = _sparse_dtype(nbits)
+                if len(pos) * dt().itemsize < nbits // 8:
                     return pd.DataFrame({
                         "shard": [shard], "kind": ["bloomsp"],
                         "nbits": [nbits], "nhashes": [k],
-                        "filter": [pos.astype(np.uint32).tobytes()],
+                        "filter": [pos.astype(dt).tobytes()],
                     })
                 f = Bloom(nbits, k)
                 f.add(keys)
@@ -484,7 +497,8 @@ class SeenFilter:
         for s, kind, nb, nh, blob in self._read_blob_rows(new_dirs):
             lst = self._merged.setdefault(s, [])
             if kind in ("bloom", "bloomsp") and (
-                not lst or (lst[0][0] == "bloom" and lst[0][1] == nb)
+                not lst
+                or (lst[0][0] == "bloom" and lst[0][1] == nb and lst[0][2] == nh)
             ):
                 bits = (
                     np.frombuffer(lst[0][3], dtype=np.uint8).copy()

@@ -32,9 +32,17 @@ def build_spark(
     app_name: str = "pompspark",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    task_retries: int = 4,
 ):
     """Standard session: AQE on, Arrow on, UTC, package importable on
-    executors. ``master=None`` defers to spark-submit / env."""
+    executors. ``master=None`` defers to spark-submit / env.
+
+    ``task_retries``: plain ``local[N]`` masters run with
+    spark.task.maxFailures=1, so ONE crashed Python worker kills the
+    whole job (the BENCH_r03 failure mode: a worker died in a 32-task
+    stage and the run burned its timeout). ``local[N]`` is rewritten to
+    ``local[N,task_retries]`` so a flaky worker costs one task retry,
+    matching cluster-mode semantics (maxFailures=4 there)."""
     # Make the package importable in executor Python workers (local mode).
     pp = os.environ.get("PYTHONPATH", "")
     if _ROOT not in pp.split(os.pathsep):
@@ -44,6 +52,13 @@ def build_spark(
 
     b = SparkSession.builder.appName(app_name)
     if master:
+        if (
+            task_retries > 1
+            and master.startswith("local[")
+            and master.endswith("]")
+            and "," not in master
+        ):
+            master = f"{master[:-1]},{task_retries}]"
         b = b.master(master)
     cores = os.cpu_count() or 8
     n_shuffle = shuffle_partitions or int(
@@ -70,6 +85,12 @@ def build_spark(
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-worker crash forensics: without these a dead worker
+        # reports only "exited unexpectedly (crashed)" (BENCH_r03's
+        # unactionable failure); with them the JVM captures the
+        # worker's faulthandler traceback. Cost: none in steady state.
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

@@ -179,3 +179,29 @@ def test_broadcast_cache_incremental(spark, tmp_path):
     flags = sf._maybe_seen_broadcast(a.unionAll(b), "url_hash").collect()
     assert all(r.maybe_seen for r in flags)
     assert len(sf._cache_dirs) == 1
+
+
+def test_sparse_positions_uint64_beyond_4gbit():
+    """ADVICE r3 (high): bloom_params gives nbits >= 2^32 once
+    capacity_per_shard exceeds ~4.5e8 (the 10^10-key regime); uint32
+    sparse positions would wrap mod 2^32 there -> FALSE NEGATIVES.
+    Pin the dtype switch and a no-FN round-trip at nbits > 2^32
+    (sparse path only — no dense bitmap is materialized)."""
+    from pompspark.seen import _blob_contains, _probes, _sparse_dtype
+
+    assert _sparse_dtype((1 << 32)) is np.uint32      # max pos 2^32-1 fits
+    assert _sparse_dtype((1 << 32) + 8) is np.uint64
+    # a real big-capacity shard: 5e8 keys @ 1% -> nbits ~ 4.8e9 > 2^32
+    nbits, k = bloom_params(500_000_000, 0.01)
+    assert nbits > (1 << 32)
+    rng = np.random.default_rng(42)
+    keys = rng.integers(-(2**62), 2**62, size=2_000, dtype=np.int64)
+    pos = np.unique(_probes(keys, nbits, k).reshape(-1))
+    assert pos.max() >= (1 << 32)  # the overflow regime is actually hit
+    blob = pos.astype(_sparse_dtype(nbits)).tobytes()
+    hit = _blob_contains("bloomsp", nbits, k, blob, keys)
+    assert hit.all()  # zero false negatives
+    other = rng.integers(-(2**62), 2**62, size=2_000, dtype=np.int64)
+    fresh = other[~np.isin(other, keys)]
+    fp = _blob_contains("bloomsp", nbits, k, blob, fresh).mean()
+    assert fp <= 0.02
