@@ -105,6 +105,125 @@ def ppm_bmp_decoder(payload: bytes) -> dict:
                      "decode without a codec library; inject a decoder)")
 
 
+def default_audio_decoder(payload: bytes) -> dict:  # pragma: no cover
+    raise NotImplementedError(
+        "no audio codec in this container — on a real cluster inject a "
+        "soundfile/ffmpeg-backed decoder: decoder(payload) -> "
+        "{'mime','sample_rate','samples': np.ndarray (mono float32)}"
+    )
+
+
+def wav_pcm_decoder(payload: bytes) -> dict:
+    """REAL decoder for uncompressed RIFF/WAVE audio — PCM 8/16/32-bit
+    and IEEE-float32 — numpy-only (no codec library, works in this
+    container; the same trick as ``ppm_bmp_decoder``). Compressed audio
+    (mp3/ogg/aac) still needs an injected decoder on a real cluster.
+    Returns mono float32 samples in [-1, 1] (channels averaged)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload (inject a decoder for "
+                         "compressed audio)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_format == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"WAV format={audio_format} bits={bits} unsupported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return {"mime": "audio/wav", "sample_rate": int(rate), "samples": x}
+
+
+def fake_audio_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for plumbing tests: a stable sample count
+    and ramp derived from the payload bytes."""
+    if not payload:
+        raise ValueError("empty payload")
+    n = 1000 + payload[0] * 16
+    x = np.sin(np.arange(n, dtype=np.float32) * (0.01 + payload[-1] / 4096.0))
+    return {"mime": "audio/fake", "sample_rate": 8000, "samples": x}
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], dict] = default_audio_decoder,
+    n_feat: int = 64,
+) -> DataFrame:
+    """binary -> MEDIA_META columns + an ``n_feat``-window RMS-envelope
+    feature vector (the audio analog of the image 8x8 mean pool). Same
+    error-isolation contract as ``decode_images``: a failing row gets
+    decode_error set, the task never throws."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + list(MEDIA_META.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            metas = {f.name: [] for f in MEDIA_META.fields}
+            rates, feats = [], []
+            for payload in b[payload_col]:
+                try:
+                    d = decoder(bytes(payload) if payload is not None else b"")
+                    x = np.asarray(d["samples"], dtype=np.float32)
+                    rate = int(d["sample_rate"])
+                    # n_feat-window RMS envelope (pad the tail window)
+                    win = max(1, -(-len(x) // n_feat))
+                    pad = np.zeros(win * n_feat, dtype=np.float32)
+                    pad[: len(x)] = x[: win * n_feat]
+                    env = np.sqrt((pad.reshape(n_feat, win) ** 2).mean(axis=1))
+                    feats.append([float(v) for v in env])
+                    rates.append(rate)
+                    metas["media_type"].append("audio")
+                    metas["mime"].append(d["mime"])
+                    metas["width"].append(None)
+                    metas["height"].append(None)
+                    metas["n_frames"].append(len(x))
+                    metas["duration_s"].append(len(x) / rate if rate else None)
+                    metas["decode_error"].append(None)
+                except Exception as exc:
+                    feats.append(None)
+                    rates.append(None)
+                    metas["media_type"].append("audio")
+                    metas["mime"].append(None)
+                    metas["width"].append(None)
+                    metas["height"].append(None)
+                    metas["n_frames"].append(None)
+                    metas["duration_s"].append(None)
+                    metas["decode_error"].append(str(exc))
+            b = b.copy()
+            for k, v in metas.items():
+                b[k] = v
+            b["sample_rate"] = pd.array(rates, dtype="Int32")
+            b["features"] = feats
+            yield b
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def fake_image_decoder(payload: bytes) -> dict:
     """Deterministic stand-in: derives a stable WxH and a gray ramp
     from the payload bytes. Raises on empty payload (error-path test)."""

@@ -131,26 +131,29 @@ class Cuckoo:
         return (i1.astype(np.uint64) ^ h) % np.uint64(self.n_buckets)
 
     def insert(self, keys: np.ndarray) -> int:
-        """Insert; returns number that failed (table full)."""
+        """Insert; returns number that failed (table full).
+
+        Vectorized no-collision fast path (r3 verdict: the old code
+        walked EVERY key in Python, not just collisions): one
+        ``_bulk_place`` pass over bucket1 (rank-within-bucket scatter —
+        every key whose bucket has a free slot lands in this pass),
+        one more over bucket2 for the overflow, then the per-key kick
+        loop only for keys whose BOTH buckets are full — a small
+        minority at design load (<=95%), so the Python loop is
+        amortized over genuine collisions only."""
         keys = np.asarray(keys, dtype=np.int64)
         fps = self._fp(keys)
         i1s = self._i1(keys)
+        i2s = self._i2(i1s, fps).astype(np.int64)
+        pending = np.arange(len(keys))
+        for buckets in (i1s, i2s):
+            if len(pending):
+                pending = self._bulk_place(buckets, fps, pending)
         failed = 0
         rng_state = 0x9E3779B9
-        for fp, i1 in zip(fps, i1s):
-            i2 = int(self._i2(np.array([i1]), np.array([fp]))[0])
-            placed = False
-            for b in (int(i1), i2):
-                row = self.table[b]
-                empty = np.flatnonzero(row == 0)
-                if len(empty):
-                    self.table[b, empty[0]] = fp
-                    placed = True
-                    break
-            if placed:
-                continue
-            # kick loop
-            b, f = int(i1), int(fp)
+        for j in pending:
+            # kick loop (both candidate buckets were full)
+            b, f = int(i1s[j]), int(fps[j])
             for _ in range(self.MAX_KICKS):
                 rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
                 slot = rng_state % self.SLOTS
@@ -165,6 +168,30 @@ class Cuckoo:
             if f != 0:
                 failed += 1
         return failed
+
+    def _bulk_place(self, buckets: np.ndarray, fps: np.ndarray,
+                    idx: np.ndarray) -> np.ndarray:
+        """One vectorized placement pass: scatter ``fps[idx]`` into the
+        empty slots of ``buckets[idx]``, at most as many per bucket as
+        it has empty slots. Same-bucket contenders are ranked (stable
+        sort by bucket); rank r takes the (r+1)-th empty slot, so no
+        two keys race for one slot and deletion holes are respected
+        (slots need not be prefix-packed). Returns the original indices
+        NOT placed."""
+        b = buckets[idx]
+        order = np.argsort(b, kind="stable")
+        sb, si = b[order], idx[order]
+        newgrp = np.r_[True, sb[1:] != sb[:-1]] if len(sb) else np.zeros(0, bool)
+        grp_start = np.flatnonzero(newgrp)
+        ranks = np.arange(len(sb)) - np.repeat(
+            grp_start, np.diff(np.r_[grp_start, len(sb)])
+        )
+        empty = self.table[sb] == 0                    # (n, SLOTS)
+        csum = empty.cumsum(axis=1)
+        ok = ranks < csum[:, -1]
+        slot = np.argmax(empty & (csum == (ranks + 1)[:, None]), axis=1)
+        self.table[sb[ok], slot[ok]] = fps[si[ok]]
+        return si[~ok]
 
     def insert_fp(self, b: int, fp: int) -> bool:
         """Insert a known (bucket, fingerprint) slot — used when merging

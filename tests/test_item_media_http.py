@@ -218,3 +218,85 @@ def test_ppm_bmp_real_decode(spark):
     assert len(by_id[1].features) == 64
     assert by_id[2].height == h and by_id[2].decode_error is None
     assert by_id[3].decode_error is not None  # png needs injected codec
+
+
+# --------------------------------------------------------------- audio
+
+def _wav_bytes(samples, rate=8000, bits=16, n_ch=1, fmt=1):
+    """Test-side RIFF/WAVE writer (struct only — independent of the
+    decoder under test)."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if fmt == 1 and bits == 16:
+        raw = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    elif fmt == 1 and bits == 8:
+        raw = (np.clip(x, -1, 1) * 127 + 128).astype(np.uint8).tobytes()
+    elif fmt == 3 and bits == 32:
+        raw = x.astype("<f4").tobytes()
+    else:
+        raise ValueError
+    block = n_ch * bits // 8
+    fmt_chunk = struct.pack("<HHIIHH", fmt, n_ch, rate, rate * block, block, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_wav_pcm_decoder_roundtrip():
+    import numpy as np
+
+    from pompspark.media import wav_pcm_decoder
+
+    t = np.arange(4000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    d = wav_pcm_decoder(_wav_bytes(sig, bits=16))
+    assert d["sample_rate"] == 8000 and len(d["samples"]) == 4000
+    assert np.abs(d["samples"] - sig).max() < 1e-3        # 16-bit quantization
+    # float32 is exact; stereo averages to mono
+    d32 = wav_pcm_decoder(_wav_bytes(sig, bits=32, fmt=3))
+    assert np.abs(d32["samples"] - sig.astype(np.float32)).max() < 1e-7
+    stereo = np.empty(8000); stereo[0::2] = sig; stereo[1::2] = -sig
+    dst = wav_pcm_decoder(_wav_bytes(stereo, n_ch=2, bits=16))
+    assert len(dst["samples"]) == 4000
+    assert np.abs(dst["samples"]).max() < 1e-3            # L/R cancel
+    d8 = wav_pcm_decoder(_wav_bytes(sig, bits=8))
+    assert np.abs(d8["samples"] - sig).max() < 2 / 127
+    with pytest.raises(ValueError):
+        wav_pcm_decoder(b"ID3\x04mp3-payload")            # inject-a-codec seam
+
+
+def test_decode_audio_spark(spark):
+    import numpy as np
+
+    from pompspark.media import decode_audio, wav_pcm_decoder
+
+    t = np.arange(16000) / 16000.0
+    loud = _wav_bytes(0.8 * np.sin(2 * np.pi * 220 * t), rate=16000)
+    quiet = _wav_bytes(0.01 * np.sin(2 * np.pi * 220 * t), rate=16000)
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [1, 2, 3],
+            "payload": [loud, quiet, b"\xffgarbage"],
+        })
+    )
+    rows = {r.media_id: r
+            for r in decode_audio(df, decoder=wav_pcm_decoder).collect()}
+    assert rows[1].media_type == "audio" and rows[1].mime == "audio/wav"
+    assert rows[1].n_frames == 16000 and rows[1].sample_rate == 16000
+    assert abs(rows[1].duration_s - 1.0) < 1e-9
+    assert len(rows[1].features) == 64
+    # RMS envelope of a 0.8 sine ~ 0.8/sqrt(2); quiet is 80x smaller
+    assert abs(rows[1].features[5] - 0.8 / np.sqrt(2)) < 0.05
+    assert rows[2].features[5] < 0.02
+    assert rows[3].decode_error is not None and rows[3].features is None
+
+
+def test_decode_audio_default_stub_raises_cleanly(spark):
+    from pompspark.media import decode_audio
+
+    df = spark.createDataFrame(pd.DataFrame({"payload": [b"\x00"]}))
+    out = decode_audio(df).collect()
+    assert "inject" in out[0].decode_error
