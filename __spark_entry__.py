@@ -221,6 +221,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_simhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-skeleton oracle, md5 twin of textops.simhash_near_dup
+    (textops.py:341): a 16-symbol signature (md5 hex prefix) split into
+    k+1=4 disjoint 4-symbol pieces (pigeonhole: symbol-Hamming <= 3
+    pairs must share a piece), exploded to (piece, val) buckets,
+    with exact per-piece bucket accounting — n_buckets, n_rows and the
+    quadratic candidate-pair term the LSH cost model bounds. Same plan
+    shape as the engine op (array/explode/groupBy, zero Python); the
+    engine's xxhash-based signature is JVM-only, md5 lets DuckDB
+    compute the identical value."""
+    d = _documents(spark, sf_dir)
+    sig = F.substring(F.md5("text"), 1, 16)
+    pieces = F.array(*[
+        F.struct(
+            F.lit(p).alias("piece"),
+            F.substring(sig, p * 4 + 1, 4).alias("val"),
+        )
+        for p in range(4)
+    ])
+    banded = d.select(
+        F.col("doc_id").alias("id"), F.explode(pieces).alias("pv")
+    ).select("id", "pv.piece", "pv.val")
+    per_bucket = banded.groupBy("piece", "val").agg(F.count("*").alias("n"))
+    return (
+        per_bucket.groupBy("piece")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n").cast("long").alias("n_rows"),
+            (F.sum(F.col("n") * (F.col("n") - F.lit(1))) / F.lit(2))
+            .cast("long").alias("n_candidate_pairs"),
+        )
+        .orderBy("piece")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -429,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_fingerprint": q_doc_fingerprint,
+        "simhash_banding": q_simhash_banding,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -607,6 +643,22 @@ def oracle_sql() -> dict[str, str]:
                    )) AS fingerprint_md5
             FROM documents
             ORDER BY doc_id
+        """,
+        "simhash_banding": """
+            WITH banded AS (
+              SELECT doc_id AS id, CAST(p.piece AS INTEGER) AS piece,
+                     substring(md5(text), p.piece * 4 + 1, 4) AS val
+              FROM documents
+              CROSS JOIN (SELECT UNNEST(RANGE(4)) AS piece) p
+            ), b AS (
+              SELECT piece, val, COUNT(*) AS n
+              FROM banded GROUP BY piece, val
+            )
+            SELECT piece,
+                   COUNT(*) AS n_buckets,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(n * (n - 1)) / 2 AS BIGINT) AS n_candidate_pairs
+            FROM b GROUP BY piece ORDER BY piece
         """,
         "ngram_jaccard_pairs": r"""
             WITH t AS (

@@ -135,7 +135,18 @@ comparison adds machines instead of saturating one.
 """
         result["efficiency_8_32"] = round(sec["eff"], 3)
 
+    rev = "unknown"
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True,
+        ).stdout.strip() or "unknown"
+    except OSError:
+        pass
     doc = f"""# BENCH/BASELINE — measured scaling (sandbox proxy protocol)
+
+Measured on code rev `{rev}` (r3 verdict: the table must carry the rev
+it was measured on — engine changes between rounds invalidate it).
 
 Per `BASELINE.md`: same job, same input, two parallelism levels pinned
 with `taskset` on one 32-core box (proxy for N and 4N executors — no

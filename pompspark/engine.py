@@ -361,7 +361,23 @@ class CrawlEngine:
                 self._checkpoint(budget_left=0)
                 return n_dequeued
 
-        fetched = self.fetcher.fetch(batch)
+        fetch_in = batch
+        if getattr(self.fetcher, "paced", False):
+            # real-HTTP politeness pacing (north rule: per-host delay
+            # enforcement): attach slot_s so the fetcher's Arrow tasks
+            # space each host's fetches crawl_delay apart. The dequeue
+            # CAP bounded how many a host contributes; the slot schedule
+            # is WHEN within the round each may fire. Simulated fetch
+            # skips this (no wall clock in tests/bench). ``batch`` keeps
+            # naming the persisted frame (unpersisted below).
+            from pompspark.politeness import schedule_slots
+            from pompspark.robots import with_robots
+
+            fetch_in = schedule_slots(
+                with_robots(batch, self.robots_df,
+                            robots_rows=self.robots_rows)
+            ).drop("crawl_delay", "disallow", "disallowed")
+        fetched = self.fetcher.fetch(fetch_in)
         for mw in reversed(self.response_middlewares):  # pomp reverse order
             fetched = mw(fetched)
 

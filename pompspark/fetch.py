@@ -42,6 +42,8 @@ class SimulatedFetcher:
     Extraction runs on the ≤batch-size join output, not on the scan.
     """
 
+    paced = False  # no wall-clock in the simulated web
+
     def __init__(self, pages: DataFrame):
         self.pages = pages
 
@@ -122,6 +124,8 @@ class HttpFetcher:
     this container). Extraction happens in the same pass — one Python
     hop per row batch, not two.
     """
+
+    paced = True  # the engine attaches slot_s (politeness.schedule_slots)
 
     def __init__(self, transport: Callable[[pd.Series], pd.DataFrame] | None = None,
                  timeout: float = 30.0,

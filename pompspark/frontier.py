@@ -861,6 +861,7 @@ class FrontierStore:
         v = self.cat.current_version("frontier")
         snap = self.cat._read_snapshot("frontier", v)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        filters = snap.get("dir_filters") or {}
         cols = schema.fieldNames()
         parts = []
         for d in snap["dirs"]:
@@ -871,6 +872,10 @@ class FrontierStore:
                 .parquet(full)
                 .select(*cols)
             )
+            for c, val in (filters.get(d) or {}).items():
+                # replace_partition exclusions (incremental compact):
+                # this dir's queued rows were folded into a newer dir
+                df = df.filter(F.col(c) != F.lit(val))
             if d == info["dir"]:
                 df = df.filter(band_pred)
             parts.append(df)
@@ -887,8 +892,29 @@ class FrontierStore:
 
         ``band_col`` ('depth' or 'discovered_round'): also lay the
         compacted queued rows out in sort-key-prefix bands for the
-        band-pruned dequeue."""
+        band-pruned dequeue.
+
+        ``incremental`` (default): fold and rewrite ONLY the queued
+        partition — terminal-state files are never rewritten (r3
+        verdict #5: a full compact at 10^10 rows is a 1.2 TB rewrite
+        per call). Sound because transitions can only reference rows
+        that were dequeued, and only ``state='queued'`` rows are ever
+        dequeued — every non-queued row's fold is the identity. Old
+        dirs get a manifest-level ``state != 'queued'`` exclusion
+        (Catalog.replace_partition); the folded output (still-queued +
+        newly-terminal + retry-pending rows) lands in one new dir.
+        ``incremental=False`` does the classic full rewrite (bounds
+        total dir count; a real deployment would run it rarely, like
+        Iceberg's full rewrite_data_files)."""
+        self._compact(band_col, incremental=True)
+
+    def compact_full(self, band_col: str | None = None) -> None:
+        self._compact(band_col, incremental=False)
+
+    def _compact(self, band_col: str | None, incremental: bool) -> None:
         f = self.cat.read("frontier")
+        if incremental:
+            f = f.filter(F.col("state") == "queued")
         t = self.cat.read("frontier_state")
         latest = t.groupBy(
             F.col("url_hash").alias("__s_hash"), F.col("url").alias("__s_url")
@@ -915,7 +941,13 @@ class FrontierStore:
         kept = kept.persist()
         kept.count()  # materialize before overwriting its source table
         partition_by = ["state"] + ([ "priority", band_col] if band_col else [])
-        v = self.cat.overwrite("frontier", folded, partition_by=partition_by)
+        if incremental:
+            v = self.cat.replace_partition(
+                "frontier", folded, "state", "queued",
+                partition_by=partition_by,
+            )
+        else:
+            v = self.cat.overwrite("frontier", folded, partition_by=partition_by)
         self.cat.overwrite("frontier_state", kept.select(*[
             fld.name for fld in self._state_schema.fields
         ]))

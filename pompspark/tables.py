@@ -38,15 +38,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def dir_row_count(path: str) -> int:
+def dir_row_count(path: str, exclude_subdir: str | None = None) -> int:
     """Row count of a committed parquet dir from file FOOTERS only —
     driver-side metadata IO, zero Spark jobs. This is how Iceberg
     serves COUNT(*): manifests carry per-file row counts. Used by the
-    engine so a round needs no separate .count() actions."""
+    engine so a round needs no separate .count() actions.
+
+    ``exclude_subdir`` (e.g. ``"state=queued"``): skip files under that
+    hive-partition component — the footer-count analog of a manifest
+    dir_filter (see Catalog.replace_partition)."""
     import pyarrow.parquet as pq
 
+    skip = (os.sep + exclude_subdir + os.sep) if exclude_subdir else None
     n = 0
     for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        if skip and skip in f:
+            continue
         n += pq.read_metadata(f).num_rows
     return n
 
@@ -182,6 +189,14 @@ class Catalog:
             _fsync_dir_files(path)
         return rel
 
+    @staticmethod
+    def _carry_filters(prev: dict[str, Any]) -> dict[str, Any]:
+        """dir_filters (replace_partition exclusions) ride along on
+        every append-style commit — dropping them would resurrect the
+        superseded partition rows of the annotated dirs."""
+        f = prev.get("dir_filters")
+        return {"dir_filters": f} if f else {}
+
     def append(self, table: str, df: DataFrame,
                partition_by: list[str] | None = None) -> int:
         prev_v = self.current_version(table)
@@ -191,6 +206,7 @@ class Catalog:
         return self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
             "schema": prev["schema"], "partition_by": partition_by,
+            **self._carry_filters(prev),
         })
 
     def overwrite(self, table: str, df: DataFrame,
@@ -226,6 +242,7 @@ class Catalog:
         self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
             "schema": prev["schema"], "partition_by": None,
+            **self._carry_filters(prev),
         })
         return v, path
 
@@ -257,6 +274,7 @@ class Catalog:
         return self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append",
             "schema": prev["schema"], "partition_by": None,
+            **self._carry_filters(prev),
         })
 
     def append_dir(self, table: str, src_dir: str) -> int:
@@ -273,43 +291,87 @@ class Catalog:
         return self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel], "op": "append_dir",
             "schema": prev["schema"], "partition_by": None,
+            **self._carry_filters(prev),
+        })
+
+    def replace_partition(self, table: str, df: DataFrame,
+                          exclude_col: str, exclude_val: str,
+                          partition_by: list[str] | None = None) -> int:
+        """Partition-incremental rewrite (the Iceberg dynamic-partition-
+        overwrite analog, r3 verdict #5): commit ``df`` as a new data
+        dir and annotate every PREVIOUS dir with a manifest-level
+        exclusion ``exclude_col != exclude_val`` — their rows in that
+        partition are superseded by the new dir, WITHOUT rewriting a
+        byte of the old dirs. At 10^10 frontier rows this is what keeps
+        compaction from being a full 1.2 TB rewrite: terminal-state
+        files (the overwhelming majority) are never touched again.
+        Reads stay pruned: the exclusion is a partition-column
+        predicate, so Spark skips the excluded hive subdirs entirely."""
+        prev_v = self.current_version(table)
+        prev = self._read_snapshot(table, prev_v)
+        v = prev_v + 1
+        rel = self._write_data_dir(table, df, v, partition_by)
+        filters = dict(prev.get("dir_filters") or {})
+        for d in prev["dirs"]:
+            filters[d] = {exclude_col: exclude_val}
+        return self._commit(table, {
+            "version": v, "dirs": prev["dirs"] + [rel],
+            "op": "replace_partition", "schema": prev["schema"],
+            "partition_by": partition_by, "dir_filters": filters,
         })
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
+        from pyspark.sql import functions as F
+
         v = version if version is not None else self.current_version(table)
         snap = self._read_snapshot(table, v)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
-        dirs = [os.path.join(self._tdir(table), d) for d in snap["dirs"]]
+        filters = snap.get("dir_filters") or {}
+        dirs = snap["dirs"]
         if not dirs:
             return self.spark.createDataFrame([], schema)
         cols = schema.fieldNames()
-        if len(dirs) == 1:
-            return self.spark.read.schema(schema).parquet(dirs[0]).select(*cols)
         # Sibling snapshot dirs may each carry hive-style partition
         # subdirs (state=...); partition discovery needs one basePath
         # per dir, so read per-dir and union (file count stays bounded
         # by compaction).
         out = None
         for d in dirs:
+            full = os.path.join(self._tdir(table), d)
             part = (
                 self.spark.read.schema(schema)
-                .option("basePath", d)
-                .parquet(d)
+                .option("basePath", full)
+                .parquet(full)
                 .select(*cols)
             )
+            exc = filters.get(d)
+            if exc:
+                for c, val in exc.items():
+                    # partition-column predicate -> dir pruning; the
+                    # excluded partition's files are never opened
+                    part = part.filter(F.col(c) != F.lit(val))
             out = part if out is None else out.unionByName(part)
         return out
 
     def row_count(self, table: str, version: int | None = None) -> int:
         """Exact row count from parquet footers across the snapshot's
         data dirs — driver metadata IO, zero Spark jobs (Iceberg
-        manifest-count analog)."""
+        manifest-count analog). Honors dir_filters (single-column
+        partition exclusions) via path-based file skipping."""
         v = version if version is not None else self.current_version(table)
         snap = self._read_snapshot(table, v)
-        return sum(
-            dir_row_count(os.path.join(self._tdir(table), d))
-            for d in snap["dirs"]
-        )
+        filters = snap.get("dir_filters") or {}
+        total = 0
+        for d in snap["dirs"]:
+            exc = filters.get(d)
+            sub = None
+            if exc:
+                (c, val), = exc.items()
+                sub = f"{c}={val}"
+            total += dir_row_count(
+                os.path.join(self._tdir(table), d), exclude_subdir=sub
+            )
+        return total
 
     def rollback(self, table: str, version: int) -> None:
         """Flip _latest back to an older snapshot (exact-resume path).

@@ -205,3 +205,25 @@ def test_sparse_positions_uint64_beyond_4gbit():
     fresh = other[~np.isin(other, keys)]
     fp = _blob_contains("bloomsp", nbits, k, blob, fresh).mean()
     assert fp <= 0.02
+
+
+def test_approx_seen_drop_rate_bounded(spark, tmp_path):
+    """Quantifies the approx-mode loss (r3 verdict #3): with the bloom
+    at design load, the fraction of GENUINELY-NEW urls flagged
+    maybe_seen — exactly the rows new_frontier_rows(seen_exact=False)
+    drops unconfirmed (frontier.py) — must stay within 2x the design
+    fp_rate. 500k preseeded keys into 4 x 125k capacity = 100% load,
+    the worst case the filter is sized for."""
+    cat = Catalog(spark, str(tmp_path))
+    sf = SeenFilter(cat, n_shards=4, capacity_per_shard=125_000, fp_rate=0.01)
+    pre = spark.range(500_000).selectExpr(
+        "xxhash64(concat('seen/', cast(id as string))) as url_hash"
+    )
+    sf.add(pre)
+    sf.compact()
+    new = spark.range(100_000).selectExpr(
+        "xxhash64(concat('new/', cast(id as string))) as url_hash"
+    )
+    dropped = sf.maybe_seen_col(new, "url_hash").filter("maybe_seen").count()
+    rate = dropped / 100_000
+    assert 0.0 < rate <= 2 * 0.01  # >0: the regime is actually exercised

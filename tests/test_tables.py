@@ -79,3 +79,60 @@ def test_snapshot_ids(spark, tmp_path):
     cat.create("b", SCHEMA)
     cat.append("a", _df(spark, [(1, "x")]))
     assert cat.snapshot_ids(["a", "b", "missing"]) == {"a": 2, "b": 1}
+
+
+PART_SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("state", T.StringType()),
+])
+
+
+def test_replace_partition_incremental(spark, tmp_path):
+    """Partition-incremental rewrite (r3 verdict #5): replace_partition
+    supersedes ONE partition's rows via a manifest exclusion — old
+    dirs' other-partition files are byte-untouched, reads see no
+    duplicates, row_count agrees, and later appends carry the
+    exclusions forward."""
+    import glob
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, schema=PART_SCHEMA)
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create("t", PART_SCHEMA)
+    cat.append("t", pdf([(1, "queued"), (2, "fetched")]), partition_by=["state"])
+    cat.append("t", pdf([(3, "queued"), (4, "error")]), partition_by=["state"])
+    terminal_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"),
+                           recursive=True)
+        if "state=queued" not in f
+    }
+    assert terminal_files
+    # fold: queued rows 1,3 -> 1 stays queued, 3 becomes fetched
+    cat.replace_partition(
+        "t", pdf([(1, "queued"), (3, "fetched")]), "state", "queued",
+        partition_by=["state"],
+    )
+    got = sorted((r.k, r.state) for r in cat.read("t").collect())
+    assert got == [(1, "queued"), (2, "fetched"), (3, "fetched"), (4, "error")]
+    assert cat.row_count("t") == 4
+    # terminal files of the old dirs: same paths, same mtimes
+    for f, m in terminal_files.items():
+        assert os.path.getmtime(f) == m
+    # exclusions survive a later append
+    cat.append("t", pdf([(5, "queued")]), partition_by=["state"])
+    got = sorted((r.k, r.state) for r in cat.read("t").collect())
+    assert got == [(1, "queued"), (2, "fetched"), (3, "fetched"),
+                   (4, "error"), (5, "queued")]
+    assert cat.row_count("t") == 5
+    # a second replace_partition supersedes BOTH earlier queued sets
+    cat.replace_partition(
+        "t", pdf([(1, "fetched"), (5, "queued")]), "state", "queued",
+        partition_by=["state"],
+    )
+    got = sorted((r.k, r.state) for r in cat.read("t").collect())
+    assert got == [(1, "fetched"), (2, "fetched"), (3, "fetched"),
+                   (4, "error"), (5, "queued")]
+    # time travel to the pre-replace snapshot still sees old queued rows
+    assert sorted(r.k for r in cat.read("t", version=2).collect()) == [1, 2]
