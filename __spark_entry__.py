@@ -256,6 +256,32 @@ def q_simhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline, oracled end to end
+    (textops.minhash_md5_near_dup): shingle -> 8 salted-md5 minhashes
+    -> 4 bands of 2 -> bucket-join candidates -> exact Jaccard verify
+    >= 0.5. Near-dups are synthesized deterministically INSIDE the
+    query (each doc unioned with a copy truncated to 90% of its chars,
+    id + 100000) so both engines derive the identical corpus — sf0.01
+    documents have no natural dupes (dedup_exact: 500 groups/500
+    docs)."""
+    from pompspark.textops import minhash_md5_near_dup
+
+    d = (
+        _documents(spark, sf_dir)
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+    )
+    trunc = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.lit(0.9) * F.length("text")).cast("int")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(trunc)
+    return minhash_md5_near_dup(corpus).orderBy("id_a", "id_b")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -465,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_banding": q_simhash_banding,
+        "minhash_near_dup_md5": q_minhash_near_dup_md5,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -643,6 +670,51 @@ def oracle_sql() -> dict[str, str]:
                    )) AS fingerprint_md5
             FROM documents
             ORDER BY doc_id
+        """,
+        "minhash_near_dup_md5": r"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              WHERE length(trim(text)) > 0
+            ), corpus AS (
+              SELECT doc_id, text FROM src
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1,
+                               CAST(floor(0.9 * length(text)) AS INT))
+              FROM src
+            ), tok AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM corpus
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                         list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM tok
+            ), m AS (
+              SELECT doc_id, sh,
+                'b0:' || list_min(list_transform(sh, x -> md5('h0/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h1/' || x))) AS b0,
+                'b1:' || list_min(list_transform(sh, x -> md5('h2/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h3/' || x))) AS b1,
+                'b2:' || list_min(list_transform(sh, x -> md5('h4/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h5/' || x))) AS b2,
+                'b3:' || list_min(list_transform(sh, x -> md5('h6/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h7/' || x))) AS b3
+              FROM s
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              FROM m a JOIN m b
+                ON b.doc_id > a.doc_id
+               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+            )
+            SELECT id_a, id_b, jaccard FROM pairs
+            WHERE jaccard >= 0.5
+            ORDER BY id_a, id_b
         """,
         "simhash_banding": """
             WITH banded AS (

@@ -621,6 +621,73 @@ def ngram_shingles(text_col, n: int = 3):
     return F.when(k >= n, F.array_distinct(grams)).otherwise(whole)
 
 
+def minhash_md5_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup with SALTED-MD5 min-hashes —
+    the fully-JVM (and SQL-expressible, hence DuckDB-oracle-able) twin
+    of ``minhash_near_dup``'s numpy-xxhash signatures. Pipeline:
+    word-n-gram shingles -> per-hash min(md5(salt || shingle)) ->
+    bands of ``band_rows`` concatenated minhashes (band-id prefixed so
+    values can never collide across bands) -> bucket self-join for
+    candidates -> exact Jaccard verify >= threshold.
+
+    Every stage is a JVM column expression (split/transform/array_min/
+    md5) — zero Python, shuffle volume is (id, band value) then the
+    candidate pairs' shingle sets, never all-pairs. The md5 variant
+    costs ~2x the xxhash one per shingle; use it when end-to-end
+    auditability against SQL engines matters more than the constant."""
+    if n_hashes % band_rows:
+        raise ValueError("n_hashes must divide into bands of band_rows")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        ngram_shingles(F.col(text_col), n).alias("sh"),
+    )
+    def _min_exp(h: int):
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # treats a two-parameter lambda as (element, index) and would
+        # bind the salt name to the array index instead of the closure
+        salt = f"h{h}/"
+        return F.array_min(F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(F.lit(salt), s))
+        ))
+
+    mins = [_min_exp(h) for h in range(n_hashes)]
+    n_bands = n_hashes // band_rows
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                F.lit(f"b{b}:"),
+                *[mins[b * band_rows + r] for r in range(band_rows)],
+            ).alias("val"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = sh.select("id", F.explode(bands).alias("bv")).select(
+        "id", "bv.band", "bv.val"
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(df, cand, text_col, id_col, n)
+    return verified.filter(F.col("jaccard") >= F.lit(threshold))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -335,3 +335,42 @@ def test_ngram_jaccard_pairs_jvm_matches_python(spark):
     assert got[(4, 5)] == 1.0
     assert got[(2, 3)] == 0.0
     assert 0.5 < got[(1, 2)] < 1.0
+
+
+def test_minhash_md5_near_dup_finds_synthetic_dups(spark):
+    """minhash_md5_near_dup (the SQL-expressible LSH twin) recovers
+    synthesized near-dups: each doc vs its 90%-truncated copy has
+    trigram Jaccard ~0.8+, so with 4 bands of 2 nearly every such pair
+    shares a band; every reported pair's jaccard is exact (verified
+    against ngram_jaccard_pairs directly) and >= the threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pompspark.textops import minhash_md5_near_dup, ngram_jaccard_pairs
+
+    texts = [
+        " ".join(f"w{(i * 7 + j) % 50}" for j in range(40)) for i in range(30)
+    ]
+    base = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(30), "text": texts})
+    )
+    trunc = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.lit(0.9) * F.length("text")).cast("int")
+        ).alias("text"),
+    )
+    corpus = base.unionByName(trunc)
+    found = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_md5_near_dup(corpus).collect()}
+    planted = {(i, i + 1000) for i in range(30)}
+    hits = planted & set(found)
+    assert len(hits) >= 25  # ~P(band match) = 1-(1-J^2)^4 at J~0.8
+    assert all(j >= 0.5 for j in found.values())
+    # spot-verify jaccard exactness for the found pairs
+    pairs = spark.createDataFrame(
+        pd.DataFrame([{"id_a": a, "id_b": b} for a, b in sorted(found)])
+    )
+    direct = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(corpus, pairs).collect()}
+    assert direct == found
