@@ -282,6 +282,19 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_md5_near_dup(corpus).orderBy("id_a", "id_b")
 
 
+def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming windowed rollup over the events table as a
+    bounded file stream (streaming.windowed_event_rollup): watermarked
+    1-hour windows, availableNow drain, complete-mode memory sink. On
+    bounded input this equals the batch GROUP BY — the DuckDB twin
+    buckets epoch(ts) to the hour."""
+    from pompspark.streaming import windowed_event_rollup
+
+    return windowed_event_rollup(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).orderBy("w_start", "event_type")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -378,6 +391,19 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = emb.orderBy("vec_id").limit(10)
     return lsh_bucketed_topk(emb, q, k=5, n_planes=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) ANN (textops.ivf_topk): 16 deterministic sample
+    centroids, 4-probe queries — the inverted-file scale path, fully
+    oracled (assignment, probing and scoring all SQL-expressible)."""
+    from pompspark.textops import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.orderBy("vec_id").limit(10)
+    return ivf_topk(emb, q, k=5, n_centroids=16, n_probe=4).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -492,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_banding": q_simhash_banding,
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
+        "streaming_windowed_rollup": q_streaming_windowed_rollup,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -504,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "quality_lang_id": q_quality_lang_id,
     }
 
@@ -671,6 +699,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "streaming_windowed_rollup": """
+            SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600
+                                       AS BIGINT) * 1000000) AS w_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS value_mills
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY w_start, event_type
+        """,
         "minhash_near_dup_md5": r"""
             WITH src AS (
               SELECT doc_id, text FROM documents
@@ -823,6 +862,49 @@ def oracle_sql() -> dict[str, str]:
                         THEN struct_extract(best, 'lang') ELSE 'und' END AS lang_pred,
                    CAST(ws_tokens + extras AS BIGINT) AS n_est_tokens
             FROM c
+        """,
+        "ann_topk_ivf": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c AS (
+              SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT vec_id, cid, v FROM (
+                SELECT e.vec_id, c.cid, e.v,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                     c.cid ASC) AS rn
+                FROM e CROSS JOIN c
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e
+              ORDER BY vec_id LIMIT 10
+            ),
+            probes AS (
+              SELECT query_id, cid, qv FROM (
+                SELECT q.query_id, c.cid, q.qv,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                     c.cid ASC) AS rn
+                FROM q CROSS JOIN c
+              ) WHERE rn <= 4
+            ),
+            s AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(p.qv, a.v) AS cos
+              FROM assign a JOIN probes p ON a.cid = p.cid
+              WHERE a.vec_id <> p.query_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+              FROM s
+            )
+            SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         """,
         "ann_topk": """
             WITH q AS (

@@ -231,10 +231,16 @@ def main() -> None:
     }))
 
 
-if __name__ == "__main__":
+def run() -> None:
+    """Crash-tolerant entry: partial JSON on any exception or SIGTERM.
+    Shared by `python bench.py` and bench/run_crawl.py (spark-submit)."""
     signal.signal(signal.SIGTERM, _sigterm)
     try:
         main()
     except BaseException as e:  # noqa: BLE001 — partial record on ANY crash
         _emit_partial(f"{type(e).__name__}: {e}")
         raise
+
+
+if __name__ == "__main__":
+    run()

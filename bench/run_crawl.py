@@ -20,4 +20,4 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if __name__ == "__main__":
     import bench
 
-    bench.main()
+    bench.run()

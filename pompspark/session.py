@@ -91,6 +91,16 @@ def build_spark(
         # worker's faulthandler traceback. Cost: none in steady state.
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # Straggler insurance (with local[N,4] task retries above): the
+        # r3 driver bench died after ONE task of a 32-task stage
+        # stalled for minutes before its worker crashed. Speculation
+        # re-launches the laggard copy-on-another-slot, so a wedged
+        # python worker costs one duplicate task, not the job. The
+        # 0.9 quantile + 4x multiplier keep it quiet in steady state.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "5s")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )

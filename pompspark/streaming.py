@@ -93,6 +93,60 @@ def stream_host_totals_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def windowed_event_rollup(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Deterministic end-to-end streaming rollup over a bounded file
+    source: readStream(events) -> watermark -> windowed groupBy ->
+    availableNow drain into a memory sink -> the final table. On a
+    bounded input with complete-mode output this equals the batch
+    GROUP BY over the same rows, which makes it the one streaming
+    operator a DuckDB oracle can check exactly (__spark_entry__
+    ``streaming_windowed_rollup``). Integral aggregates only (counts +
+    floor-scaled value sums) so the comparison is exact, not
+    float-luck."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    if os.path.isfile(events_path):
+        # the file stream source requires a DIRECTORY (basePath rule);
+        # single-file tables (driver testdata) get a symlink dir
+        d = tempfile.mkdtemp(prefix="pompstream-src-")
+        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    rolled = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_mills"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type",
+            "n_events", "value_mills",
+        )
+    )
+    cp = checkpoint_dir or tempfile.mkdtemp(prefix="pompstream-cp-")
+    name = run_available_now(rolled, cp)
+    return spark.table(name)
+
+
 def run_available_now(result: DataFrame, checkpoint_dir: str):
     """Drain everything currently available into an in-memory sink and
     stop — the batch-friendly way to tail the crawl in tests/monitors."""

@@ -88,3 +88,30 @@ def test_stateful_host_totals_across_microbatches(spark, tmp_path):
     n_second = sum(t for t, _ in second.values())
     assert n_second > n_first
     assert all(e == 0 for _, e in second.values())
+
+
+def test_windowed_event_rollup_equals_batch(spark, tmp_path):
+    """windowed_event_rollup (the oracled streaming query's engine op):
+    on a bounded file source with complete-mode output, the streaming
+    windowed aggregate equals the batch GROUP BY over the same rows —
+    exactly the property the DuckDB oracle checks."""
+    from pyspark.sql import functions as F
+
+    from pompspark.streaming import windowed_event_rollup
+
+    events_path = "/root/testdata/sf0.001/events.parquet"
+    got = windowed_event_rollup(spark, events_path, checkpoint_dir=str(tmp_path / "cp"))
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_mills"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type",
+                "n_events", "value_mills")
+    )
+    key = lambda r: (r.w_start, r.event_type)  # noqa: E731
+    g = {key(r): (r.n_events, r.value_mills) for r in got.collect()}
+    w = {key(r): (r.n_events, r.value_mills) for r in batch.collect()}
+    assert g == w and len(g) > 0

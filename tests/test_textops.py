@@ -374,3 +374,36 @@ def test_minhash_md5_near_dup_finds_synthetic_dups(spark):
     direct = {(r.id_a, r.id_b): r.jaccard
               for r in ngram_jaccard_pairs(corpus, pairs).collect()}
     assert direct == found
+
+
+def test_ivf_topk_on_clustered_vectors(spark):
+    """ivf_topk: on well-separated clusters, probing the nearest cells
+    recovers the brute-force neighbors (high recall), every neighbor
+    comes from a probed cell, and ranks are contiguous from 1."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pompspark.textops import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = [
+        (i, (centers[i % 4] + rng.standard_normal(16) * 0.1).astype("float32").tolist())
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [v[0] for v in vecs],
+                      "embedding": [v[1] for v in vecs]})
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    got = ivf_topk(emb, q, k=5, n_centroids=8, n_probe=2).collect()
+    want = {(r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, q, k=5).collect()}
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(range(8))
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    hits = {(r.query_id, r.neighbor_id) for r in got} & want
+    assert len(hits) / len(want) >= 0.8  # clusters are well separated
