@@ -51,6 +51,29 @@ Transform = Callable[[DataFrame], DataFrame]
 TABLES = ["frontier", "frontier_state", "fetch_log", "metrics", "trace", "seen"]
 
 
+def check_speculation_safe(spark, fetcher) -> None:
+    """Refuse a paced fetcher on a speculative session.
+
+    spark.speculation is a STATIC core conf — it cannot be toggled per
+    job. A paced fetcher sleeps (n-1)*crawl_delay inside its tasks by
+    design, so under speculation those legitimately-slow tasks get
+    DUPLICATED: the speculative copy re-runs the side-effectful fetch
+    and hits the slow host from two slots with < crawl_delay spacing,
+    breaking the politeness guarantee. Build the session with
+    ``build_spark(speculation=False)`` when the fetcher does real paced
+    I/O; the pure-compute bench path (simulated fetch, paced=False)
+    keeps speculation on as straggler insurance."""
+    if not getattr(fetcher, "paced", False):
+        return
+    spec = spark.sparkContext.getConf().get("spark.speculation", "false")
+    if spec == "true":
+        raise ValueError(
+            "paced fetcher on a speculative session: build the session "
+            "with build_spark(speculation=False) (or spark.speculation="
+            "false) when the fetcher does real paced I/O"
+        )
+
+
 def _metrics_rows(round_dir: str, round_: int, n_new: int,
                   wall_ms: int) -> list[dict]:
     """Per-partition lineage metrics from the round files: each data
@@ -121,6 +144,7 @@ class CrawlEngine:
         self.spark = spark
         self.cat = Catalog(spark, workdir)
         self.fetcher = fetcher
+        check_speculation_safe(spark, fetcher)
         self.ordering = ordering
         self.per_round_budget = per_round_budget
         self.per_host_budget = per_host_budget

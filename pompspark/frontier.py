@@ -872,10 +872,12 @@ class FrontierStore:
                 .parquet(full)
                 .select(*cols)
             )
-            for c, val in (filters.get(d) or {}).items():
+            for c, vals in (filters.get(d) or {}).items():
+                if not isinstance(vals, list):  # legacy scalar form
+                    vals = [vals]
                 # replace_partition exclusions (incremental compact):
                 # this dir's queued rows were folded into a newer dir
-                df = df.filter(F.col(c) != F.lit(val))
+                df = df.filter(~F.col(c).isin(vals))
             if d == info["dir"]:
                 df = df.filter(band_pred)
             parts.append(df)

@@ -33,6 +33,7 @@ def build_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     task_retries: int = 4,
+    speculation: bool = True,
 ):
     """Standard session: AQE on, Arrow on, UTC, package importable on
     executors. ``master=None`` defers to spark-submit / env.
@@ -91,19 +92,33 @@ def build_spark(
         # worker's faulthandler traceback. Cost: none in steady state.
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    if speculation:
         # Straggler insurance (with local[N,4] task retries above): the
         # r3 driver bench died after ONE task of a 32-task stage
         # stalled for minutes before its worker crashed. Speculation
         # re-launches the laggard copy-on-another-slot, so a wedged
         # python worker costs one duplicate task, not the job. The
         # 0.9 quantile + 4x multiplier keep it quiet in steady state.
-        .config("spark.speculation", "true")
-        .config("spark.speculation.interval", "5s")
-        .config("spark.speculation.multiplier", "4")
-        .config("spark.speculation.quantile", "0.9")
-        .config("spark.ui.enabled", "false")
-        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
-    )
+        #
+        # ONLY safe for idempotent compute. Politeness-paced fetchers
+        # sleep (n-1)*crawl_delay inside the task by design, so a
+        # paced task legitimately exceeds 4x the median and would be
+        # speculatively DUPLICATED — re-running the side-effectful
+        # fetch and hitting the slow host from two concurrent slots
+        # with < crawl_delay spacing, violating the politeness
+        # guarantee. Pass speculation=False whenever the fetcher is
+        # paced / does real I/O — Engine.__init__ refuses a paced
+        # fetcher on a speculative session. The pure-compute bench
+        # path (simulated fetch, paced=False) keeps it on.
+        b = (
+            b.config("spark.speculation", "true")
+            .config("spark.speculation.interval", "5s")
+            .config("spark.speculation.multiplier", "4")
+            .config("spark.speculation.quantile", "0.9")
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

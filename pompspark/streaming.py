@@ -118,7 +118,13 @@ def windowed_event_rollup(
         # the file stream source requires a DIRECTORY (basePath rule);
         # single-file tables (driver testdata) get a symlink dir
         d = tempfile.mkdtemp(prefix="pompstream-src-")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
+        # abspath: a RELATIVE symlink target resolves relative to the
+        # symlink's own directory (the tempdir), i.e. dangles -> an
+        # empty/failed stream source.
+        os.symlink(
+            os.path.abspath(events_path),
+            os.path.join(d, os.path.basename(events_path)),
+        )
         events_path = d
 
     schema = T.StructType([

@@ -38,23 +38,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def dir_row_count(path: str, exclude_subdir: str | None = None) -> int:
+def dir_row_count(
+    path: str, exclude_subdir: str | list[str] | None = None
+) -> int:
     """Row count of a committed parquet dir from file FOOTERS only —
     driver-side metadata IO, zero Spark jobs. This is how Iceberg
     serves COUNT(*): manifests carry per-file row counts. Used by the
     engine so a round needs no separate .count() actions.
 
-    ``exclude_subdir`` (e.g. ``"state=queued"``): skip files under that
-    hive-partition component — the footer-count analog of a manifest
-    dir_filter (see Catalog.replace_partition)."""
+    ``exclude_subdir`` (e.g. ``"state=queued"``, or a list of such):
+    skip files under those hive-partition components — the footer-count
+    analog of a manifest dir_filter (see Catalog.replace_partition)."""
     import pyarrow.parquet as pq
 
-    skip = (os.sep + exclude_subdir + os.sep) if exclude_subdir else None
+    if isinstance(exclude_subdir, str):
+        exclude_subdir = [exclude_subdir]
+    skips = [os.sep + s + os.sep for s in (exclude_subdir or [])]
     n = 0
     for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
-        if skip and skip in f:
+        if any(s in f for s in skips):
             continue
         n += pq.read_metadata(f).num_rows
+    return n
+
+
+def _filtered_dir_count(path: str, exc: dict[str, list[str]]) -> int:
+    """Exact count of rows NOT matching any exclusion, reading only the
+    excluded columns per file (pyarrow, driver-side). Fallback for a
+    filtered dir written without hive partitioning — slower than footer
+    math but never overcounts superseded rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f, columns=list(exc))
+        keep = None
+        for c, vals in exc.items():
+            m = pc.invert(pc.is_in(t[c], value_set=pa.array(vals)))
+            keep = m if keep is None else pc.and_(keep, m)
+        n += pc.sum(pc.cast(keep, "int64")).as_py() or 0
     return n
 
 
@@ -311,9 +335,18 @@ class Catalog:
         prev = self._read_snapshot(table, prev_v)
         v = prev_v + 1
         rel = self._write_data_dir(table, df, v, partition_by)
-        filters = dict(prev.get("dir_filters") or {})
+        # MERGE into any pre-existing per-dir exclusions (don't clobber:
+        # a later call with a different column/value must not resurrect
+        # rows superseded by an earlier call). Values are lists so one
+        # column can accumulate several excluded partitions.
+        filters = {d: {c: list(v_) if isinstance(v_, list) else [v_]
+                       for c, v_ in (exc or {}).items()}
+                   for d, exc in (prev.get("dir_filters") or {}).items()}
         for d in prev["dirs"]:
-            filters[d] = {exclude_col: exclude_val}
+            exc = filters.setdefault(d, {})
+            vals = exc.setdefault(exclude_col, [])
+            if exclude_val not in vals:
+                vals.append(exclude_val)
         return self._commit(table, {
             "version": v, "dirs": prev["dirs"] + [rel],
             "op": "replace_partition", "schema": prev["schema"],
@@ -346,31 +379,48 @@ class Catalog:
             )
             exc = filters.get(d)
             if exc:
-                for c, val in exc.items():
+                for c, vals in exc.items():
+                    if not isinstance(vals, list):  # legacy scalar form
+                        vals = [vals]
                     # partition-column predicate -> dir pruning; the
-                    # excluded partition's files are never opened
-                    part = part.filter(F.col(c) != F.lit(val))
+                    # excluded partitions' files are never opened
+                    part = part.filter(~F.col(c).isin(vals))
             out = part if out is None else out.unionByName(part)
         return out
 
     def row_count(self, table: str, version: int | None = None) -> int:
         """Exact row count from parquet footers across the snapshot's
         data dirs — driver metadata IO, zero Spark jobs (Iceberg
-        manifest-count analog). Honors dir_filters (single-column
-        partition exclusions) via path-based file skipping."""
+        manifest-count analog). Honors dir_filters (partition
+        exclusions) via path-based file skipping; a filtered dir whose
+        hive layout does NOT cover the excluded column (written without
+        partition_by) falls back to a real per-file column read so the
+        count never silently includes superseded rows."""
         v = version if version is not None else self.current_version(table)
         snap = self._read_snapshot(table, v)
         filters = snap.get("dir_filters") or {}
         total = 0
         for d in snap["dirs"]:
-            exc = filters.get(d)
-            sub = None
-            if exc:
-                (c, val), = exc.items()
-                sub = f"{c}={val}"
-            total += dir_row_count(
-                os.path.join(self._tdir(table), d), exclude_subdir=sub
+            full = os.path.join(self._tdir(table), d)
+            exc = {
+                c: (vals if isinstance(vals, list) else [vals])
+                for c, vals in (filters.get(d) or {}).items()
+            }
+            if not exc:
+                total += dir_row_count(full)
+                continue
+            covered = all(
+                glob.glob(os.path.join(full, "**", f"{c}=*"), recursive=True)
+                or not glob.glob(
+                    os.path.join(full, "**", "*.parquet"), recursive=True
+                )
+                for c in exc
             )
+            if covered:
+                subs = [f"{c}={v_}" for c, vals in exc.items() for v_ in vals]
+                total += dir_row_count(full, exclude_subdir=subs)
+            else:
+                total += _filtered_dir_count(full, exc)
         return total
 
     def rollback(self, table: str, version: int) -> None:

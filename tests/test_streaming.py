@@ -115,3 +115,57 @@ def test_windowed_event_rollup_equals_batch(spark, tmp_path):
     g = {key(r): (r.n_events, r.value_mills) for r in got.collect()}
     w = {key(r): (r.n_events, r.value_mills) for r in batch.collect()}
     assert g == w and len(g) > 0
+
+
+def test_windowed_rollup_relative_events_path(spark, tmp_path, monkeypatch):
+    """r4 advice: a RELATIVE events_path used to be symlinked verbatim
+    into the temp source dir, where the relative target resolves
+    against the tempdir -> dangling link -> empty stream. abspath fix
+    makes relative and absolute paths agree."""
+    from pompspark.streaming import windowed_event_rollup
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    monkeypatch.chdir("/root/testdata/sf0.001")
+    rel = windowed_event_rollup(spark, "events.parquet").collect()
+    assert rel  # pre-fix: empty (dangling symlink)
+    absd = windowed_event_rollup(spark, src).collect()
+    assert sorted(map(tuple, rel)) == sorted(map(tuple, absd))
+
+
+def test_speculation_guard_refuses_paced_fetcher():
+    """r4 advice (medium): spark.speculation is static, so a paced
+    (side-effectful, politeness-sleeping) fetcher on a speculative
+    session would get its slow tasks duplicated — the engine must
+    refuse the combination up front."""
+    import pytest
+
+    from pompspark.engine import check_speculation_safe
+
+    class _Conf:
+        def __init__(self, spec):
+            self._s = spec
+
+        def get(self, key, default=None):
+            return self._s if key == "spark.speculation" else default
+
+    class _Sc:
+        def __init__(self, spec):
+            self._c = _Conf(spec)
+
+        def getConf(self):
+            return self._c
+
+    class _Spark:
+        def __init__(self, spec):
+            self.sparkContext = _Sc(spec)
+
+    class _Paced:
+        paced = True
+
+    class _Unpaced:
+        paced = False
+
+    with pytest.raises(ValueError, match="speculat"):
+        check_speculation_safe(_Spark("true"), _Paced())
+    check_speculation_safe(_Spark("false"), _Paced())  # ok
+    check_speculation_safe(_Spark("true"), _Unpaced())  # ok

@@ -136,3 +136,81 @@ def test_replace_partition_incremental(spark, tmp_path):
                    (4, "error"), (5, "queued")]
     # time travel to the pre-replace snapshot still sees old queued rows
     assert sorted(r.k for r in cat.read("t", version=2).collect()) == [1, 2]
+
+
+def test_replace_partition_merges_distinct_exclusions(spark, tmp_path):
+    """r4 advice: a second replace_partition on a DIFFERENT column must
+    MERGE with (not clobber) the first dir-level exclusion — otherwise
+    superseded rows silently resurrect. row_count must honor multiple
+    exclusions per dir too."""
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("tier", T.StringType()),
+    ])
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, schema=sch)
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create("t", sch)
+    cat.append(
+        "t", pdf([(1, "queued", "hot"), (2, "fetched", "cold")]),
+        partition_by=["state", "tier"],
+    )
+    # exclusion #1: supersede state=queued (row 1 -> fetched)
+    cat.replace_partition(
+        "t", pdf([(1, "fetched", "hot")]), "state", "queued",
+        partition_by=["state", "tier"],
+    )
+    # exclusion #2 on a DIFFERENT column: supersede tier=cold
+    # (row 2 -> warm). Dir 1 now carries BOTH exclusions.
+    cat.replace_partition(
+        "t", pdf([(2, "fetched", "warm")]), "tier", "cold",
+        partition_by=["state", "tier"],
+    )
+    got = sorted((r.k, r.state, r.tier) for r in cat.read("t").collect())
+    assert got == [(1, "fetched", "hot"), (2, "fetched", "warm")]
+    assert cat.row_count("t") == 2
+    # same column, second value: both exclusions accumulate on the dir
+    cat2 = Catalog(spark, str(tmp_path / "c2"))
+    cat2.create("t", sch)
+    cat2.append(
+        "t",
+        pdf([(1, "queued", "x"), (2, "retry", "x"), (3, "fetched", "x")]),
+        partition_by=["state"],
+    )
+    cat2.replace_partition(
+        "t", pdf([(1, "fetched", "x")]), "state", "queued",
+        partition_by=["state"],
+    )
+    cat2.replace_partition(
+        "t", pdf([(2, "error", "x")]), "state", "retry",
+        partition_by=["state"],
+    )
+    got = sorted((r.k, r.state) for r in cat2.read("t").collect())
+    assert got == [(1, "fetched"), (2, "error"), (3, "fetched")]
+    assert cat2.row_count("t") == 3
+
+
+def test_row_count_fallback_unpartitioned_filtered_dir(spark, tmp_path):
+    """r4 advice: row_count's path-based skipping only works when the
+    filtered dir is hive-partitioned by the excluded column; a dir
+    written WITHOUT partition_by must fall back to a real column read
+    instead of silently overcounting superseded rows."""
+
+    def pdf(rows):
+        return spark.createDataFrame(rows, schema=PART_SCHEMA)
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create("t", PART_SCHEMA)
+    # NOT partitioned by state: no state=... subdirs exist
+    cat.append("t", pdf([(1, "queued"), (2, "fetched")]))
+    cat.replace_partition(
+        "t", pdf([(1, "fetched")]), "state", "queued",
+        partition_by=["state"],
+    )
+    got = sorted((r.k, r.state) for r in cat.read("t").collect())
+    assert got == [(1, "fetched"), (2, "fetched")]
+    # read() and row_count must agree (pre-fix: row_count said 3)
+    assert cat.row_count("t") == 2
