@@ -3,14 +3,18 @@
   {"metric": ..., "value": <total timed sec>, "unit": "sec",
    "queries": {<stage>: sec, ...}, "sf": ..., "urls_per_sec": ...}
 
-Protocol (BASELINE.md): synthetic Common-Crawl-style pages derived
+Protocol v2 (BASELINE.md): synthetic Common-Crawl-style pages derived
 deterministically from $SPARK_GRAFT_SF_DIR documents (seed-42 hash
-graph, zipf hosts, ~30 KB html bodies), 1 warm-up round + >=3 timed
-rounds of the full engine (dequeue -> fetch/extract -> sinks -> merge
--> checkpoint). Headline = URLs fetched+extracted per second.
+graph, zipf hosts, ~30 KB html bodies), 2 warm-up rounds + 5 timed
+FULL-budget rounds of the full engine (dequeue -> fetch/extract ->
+sinks -> merge -> checkpoint), straggler rounds (wall > 2x median)
+replaced by up to 2 extra rounds. Headline = median per-round
+urls/sec over full non-replaced rounds; total-based urls_per_sec kept
+for r1-r4 comparability.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_PAGES,
-BENCH_BUDGET, BENCH_ROUNDS, BENCH_WORKDIR.
+BENCH_BUDGET, BENCH_ROUNDS, BENCH_MAX_EXTRA, BENCH_STRAGGLER_X,
+BENCH_WORKDIR.
 """
 
 from __future__ import annotations
@@ -54,9 +58,17 @@ def _sigterm(_signo, _frame):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_PAGES", "400000"))
+    # r4 protocol (jitter-robust): 5 timed rounds, every one fetching
+    # the FULL budget — the 1M-page corpus leaves ~95% reachable, so
+    # warm-up (2x40k) + 5x120k + up to 2 straggler-replacement rounds
+    # all draw full batches (the old 400k corpus exhausted mid-round-3,
+    # making the last sample structurally partial). Measured on this
+    # host: the 2.5x corpus does NOT slow rounds (page-cached snappy
+    # scan), rates [3251, 3619, 2760, 3552, 3812] urls/s.
+    n_pages = int(os.environ.get("BENCH_PAGES", "1000000"))
     budget = int(os.environ.get("BENCH_BUDGET", "120000"))
-    timed_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+    timed_rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
+    max_extra = int(os.environ.get("BENCH_MAX_EXTRA", "2"))
     workdir = os.environ.get(
         "BENCH_WORKDIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
     )
@@ -173,15 +185,16 @@ def main() -> None:
     # ---------------- timed rounds --------------------------------------
     sync_each = os.environ.get("BENCH_SYNC_ROUNDS", "1") == "1"
     fetched = 0
-    round_fetches: list[int] = []
+    rounds: list[dict] = []  # {n, wall, rate, full, replaced}
     stage_timings: dict[str, dict] = {}
     t_start = time.monotonic()
-    for i in range(timed_rounds):
+
+    def _timed_round(label: str) -> int:
         r0 = time.monotonic()
         n = eng.run_round()
-        stage_timings[f"round_{i + 1}"] = dict(eng.last_round_timings)
+        stage_timings[label] = dict(eng.last_round_timings)
         if banded:
-            stage_timings[f"round_{i + 1}"]["bands_read"] = eng.last_bands_read
+            stage_timings[label]["bands_read"] = eng.last_bands_read
         if sync_each:
             # flush INSIDE the timed window: each round writes ~GBs of
             # parquet; letting dirty pages pile up produces a single
@@ -189,26 +202,68 @@ def main() -> None:
             # measured 78 s round among 40 s rounds). Paying the flush
             # per round is the same total work without the cliff.
             os.sync()
-        timings[f"round_{i + 1}"] = round(time.monotonic() - r0, 3)
+        wall = round(time.monotonic() - r0, 3)
+        timings[label] = wall
+        rounds.append({
+            "n": n, "wall": wall,
+            "rate": round(n / wall, 1) if wall > 0 else 0.0,
+            "full": n == budget, "replaced": False, "label": label,
+        })
+        return n
+
+    for i in range(timed_rounds):
+        n = _timed_round(f"round_{i + 1}")
         fetched += n
-        round_fetches.append(n)
         _PARTIAL["urls_fetched"] = fetched
         _PARTIAL["rounds_completed"] = i + 1
         if n == 0:
             break
+
+    # Straggler replacement (r4 verdict #2, scaling.py's leg-retry
+    # pattern ported): a round whose wall exceeds STRAGGLER_X x the
+    # median wall is a host-jitter artifact (identical work per full
+    # round); run a replacement round (same budget, steady-state
+    # frontier) and drop the straggler from the headline sample. All
+    # rounds stay in the record, flagged.
+    straggler_x = float(os.environ.get("BENCH_STRAGGLER_X", "2.0"))
+    extras = 0
+    while extras < max_extra:
+        active = [r_ for r_ in rounds if r_["full"] and not r_["replaced"]]
+        if len(active) < 3:
+            break
+        med_wall = statistics.median([r_["wall"] for r_ in active])
+        worst = max(active, key=lambda r_: r_["wall"])
+        if worst["wall"] <= straggler_x * med_wall:
+            break
+        extras += 1
+        n = _timed_round(f"retry_round_{extras}")
+        fetched += n
+        _PARTIAL["urls_fetched"] = fetched
+        if n < budget:
+            # frontier couldn't serve a full replacement: un-count it
+            # as a sample but keep its wall in the total (honest cost)
+            rounds[-1]["full"] = False
+            break
+        worst["replaced"] = True
     total = time.monotonic() - t_start
     urls_per_sec = fetched / total if total > 0 else 0.0
-    # per-round throughput + median: this host's run-to-run noise is
-    # real (shared VM — a single straggler round can halve the total-
-    # based headline); the median round is the robust steady-state
-    # number. Headline semantics unchanged (urls_per_sec stays
-    # fetched/total for r1/r2 comparability).
-    round_rates = [
-        round(n / timings[f"round_{i + 1}"], 1)
-        for i, n in enumerate(round_fetches)
-        if timings.get(f"round_{i + 1}", 0) > 0
-    ]
-    med = round(statistics.median(round_rates), 1) if round_rates else 0.0
+    # Headline = median per-round rate over FULL, non-replaced rounds:
+    # identical work per sample, robust to this shared VM's documented
+    # jitter. Partial rounds (exhausting corpora at small SF) fall
+    # back to all rounds.
+    samples = [r_ for r_ in rounds if r_["full"] and not r_["replaced"]]
+    if not samples:
+        samples = [r_ for r_ in rounds if r_["n"] > 0]
+    rates = [r_["rate"] for r_ in samples]
+    round_rates = [r_["rate"] for r_ in rounds]
+    med = round(statistics.median(rates), 1) if rates else 0.0
+    spread = {
+        "min": min(rates) if rates else 0.0,
+        "max": max(rates) if rates else 0.0,
+        "rel": round((max(rates) - min(rates)) / med, 3) if rates and med else 0.0,
+        "n_samples": len(rates),
+        "replaced_rounds": [r_["label"] for r_ in rounds if r_["replaced"]],
+    }
 
     spark.stop()
     print(json.dumps({
@@ -221,10 +276,12 @@ def main() -> None:
         "urls_per_sec": round(urls_per_sec, 1),
         "round_urls_per_sec": round_rates,
         "urls_per_sec_median_round": med,
+        "spread": spread,
         "stage_timings": stage_timings,
         "config": {
             "cpus": cpus, "n_pages": n_pages, "budget": budget,
-            "timed_rounds": timed_rounds, "seen_filter": use_seen,
+            "timed_rounds": timed_rounds, "max_extra": max_extra,
+            "seen_filter": use_seen,
             "seen_mode": seen_mode, "preseed": preseed,
             "banded": banded, "compact_every": compact_every,
         },

@@ -84,6 +84,97 @@ def simhash64(text: str, shingle_n: int = 2) -> int:
     return int(out % np.uint64(1 << 63))
 
 
+def _flat_shingle_hashes(texts, shingle_n: int):
+    """Hash EVERY row's shingles in one flat pass (r4 verdict #4: the
+    per-row ``texts.map`` was the dominant cost of the signature UDFs
+    at corpus scale). Returns ``(h, offsets, counts)``: ``h`` is the
+    concatenated uint64 shingle-hash array for the whole batch,
+    ``offsets[i]`` the start of row i, ``counts[i]`` its length.
+    Bit-identical to per-row ``_hash_shingles`` (same crc32/adler32
+    pairing + mix, applied to the same joined shingle strings)."""
+    import zlib
+
+    space = b" "
+    all_sh: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        # split the STR (unicode whitespace semantics identical to the
+        # per-row path), then encode each token ONCE — utf-8 is
+        # concatenative, so b" ".join(encoded) == joined.encode()
+        toks = (t or "").split()
+        tb = [w.encode("utf-8") for w in toks]
+        if len(tb) < shingle_n:
+            joined = [space.join(tb)] if tb else []
+        else:
+            joined = [
+                space.join(tb[j: j + shingle_n])
+                for j in range(len(tb) - shingle_n + 1)
+            ]
+        counts[i] = len(joined)
+        all_sh.extend(joined)
+    m = len(all_sh)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    if m == 0:
+        return np.zeros(0, dtype=np.uint64), offsets, counts
+    # C-level map beats fromiter-over-genexpr ~3x (profiled)
+    lo = np.array(list(map(zlib.crc32, all_sh)), dtype=np.uint64)
+    hi = np.array(list(map(zlib.adler32, all_sh)), dtype=np.uint64)
+    h = (lo << np.uint64(32)) | hi
+    h = (h ^ (h >> np.uint64(33))) * _MIX_A
+    h = (h ^ (h >> np.uint64(29))) * _MIX_B
+    return h ^ (h >> np.uint64(32)), offsets, counts
+
+
+def minhash_signatures_batch(
+    texts, num_hashes: int = 64, shingle_n: int = 3
+) -> np.ndarray:
+    """Whole-batch minhash: one flat hash pass + per-hash segment-min
+    via ``np.minimum.reduceat`` — no per-row Python in the hot loop.
+    Returns an ``(n_rows, num_hashes)`` int64 array equal row-by-row to
+    ``minhash_signature``. Memory stays O(total_shingles): the K=64
+    loop reuses one scratch array instead of a (K, m) matrix."""
+    h, offsets, counts = _flat_shingle_hashes(texts, shingle_n)
+    n = len(counts)
+    out = np.zeros((n, num_hashes), dtype=np.int64)
+    if h.size == 0:
+        return out
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    mixed = np.empty_like(h)
+    mask63 = np.uint64((1 << 63) - 1)
+    for k in range(1, num_hashes + 1):
+        np.multiply(h, np.uint64(2 * k + 1), out=mixed)
+        mixed ^= mixed >> np.uint64(31)
+        mixed *= _MIX_A
+        # reduceat segment-min; empty segments excluded (stay 0)
+        seg = np.minimum.reduceat(mixed, starts)
+        out[nonempty, k - 1] = (seg & mask63).astype(np.int64)
+    return out
+
+
+def simhash64_batch(texts, shingle_n: int = 2) -> np.ndarray:
+    """Whole-batch simhash: per-bit segment-sums via
+    ``np.add.reduceat``. Returns an ``(n_rows,)`` int64 array equal to
+    per-row ``simhash64`` (including the % 2^63 top-bit drop)."""
+    h, offsets, counts = _flat_shingle_hashes(texts, shingle_n)
+    n = len(counts)
+    out = np.zeros(n, dtype=np.uint64)
+    if h.size == 0:
+        return out.astype(np.int64)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    seg_len = counts[nonempty]
+    for b in range(63):  # bit 63 is dropped by the % 2^63 anyway
+        ones = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        cnt = np.add.reduceat(ones, starts)
+        # score = 2*cnt - seg_len > 0  <=>  cnt*2 > seg_len
+        out[nonempty] |= np.where(
+            cnt * 2 > seg_len, np.uint64(1) << np.uint64(b), np.uint64(0)
+        )
+    return out.astype(np.int64)
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     sa = set(map(int, _hash_shingles((a or "").split(), n)))
     sb = set(map(int, _hash_shingles((b or "").split(), n)))
@@ -96,13 +187,20 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 # ----------------------------------------------------------------- UDFs
 
 def register_text_udfs(num_hashes: int = 64, shingle_n: int = 3):
+    # Batch-vectorized (r4 verdict #4): one flat shingle-hash pass per
+    # Arrow batch + reduceat segment mins/sums — measured ~4-6x over
+    # the per-row texts.map path, bit-identical output (pinned by
+    # test_batch_signatures_match_per_row).
     @F.pandas_udf("array<long>")
     def minhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: minhash_signature(t, num_hashes, shingle_n))
+        sig = minhash_signatures_batch(
+            texts.tolist(), num_hashes, shingle_n
+        )
+        return pd.Series(list(sig))
 
     @F.pandas_udf("long")
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: simhash64(t))
+        return pd.Series(simhash64_batch(texts.tolist(), shingle_n=2))
 
     return minhash_udf, simhash_udf
 

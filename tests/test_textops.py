@@ -407,3 +407,33 @@ def test_ivf_topk_on_clustered_vectors(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
     hits = {(r.query_id, r.neighbor_id) for r in got} & want
     assert len(hits) / len(want) >= 0.8  # clusters are well separated
+
+
+def test_batch_signatures_match_per_row():
+    """r4 verdict #4: the batch-vectorized signature path must be
+    bit-identical to the per-row reference implementations, including
+    the edge rows (empty, single-token, shorter-than-n)."""
+    import numpy as np
+
+    from pompspark.textops import (
+        minhash_signature,
+        minhash_signatures_batch,
+        simhash64,
+        simhash64_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=int(k)).tolist())
+        for k in rng.integers(0, 60, size=100)
+    ]
+    texts += ["", None, "one", "two words", "a b c", "  padded   spaces  "]
+
+    batch = minhash_signatures_batch(texts, num_hashes=16, shingle_n=3)
+    for i, t in enumerate(texts):
+        assert batch[i].tolist() == minhash_signature(t, 16, 3), i
+
+    sb = simhash64_batch(texts, shingle_n=2)
+    for i, t in enumerate(texts):
+        assert int(sb[i]) == simhash64(t, 2), i
