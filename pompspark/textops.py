@@ -299,21 +299,33 @@ def _hyperplane_bucket(col, planes) -> "F.Column":
 def embedding_bucket_stats(
     embeddings: DataFrame,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_size: int = 2000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Companion to embedding_near_dup's bucket cap (mirrors
-    lsh_bucket_stats): how many hyperplane buckets/rows exceed the cap
+    lsh_bucket_stats): how many (table, bucket) cells exceed the cap
     and were dropped from pairing. Coverage must never silently
-    shrink — run this alongside the capped near-dup."""
+    shrink — run this alongside the capped near-dup. Same seeded plane
+    draw as embedding_near_dup (table 0 == legacy single table)."""
     rng = np.random.default_rng(seed)
-    dim = len(embeddings.select(vec_col).head()[0])
-    planes = rng.standard_normal((n_planes, dim))
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     sizes = (
-        embeddings.select(_hyperplane_bucket(F.col(vec_col), planes).alias("bucket"))
-        .groupBy("bucket")
+        embeddings.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _hyperplane_bucket(F.col(vec_col), planes[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ])).alias("tb")
+        )
+        .groupBy("tb.tbl", "tb.bucket")
         .agg(F.count("*").alias("n"))
     )
     return sizes.agg(
@@ -330,22 +342,37 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 0,
+    n_tables: int = 1,
     seed: int = 42,
     max_bucket_size: int | None = 2000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold). n_planes=0 compares within the full corpus (exact,
     O(n^2) — small corpora / oracle checks); n_planes>0 buckets by
     random-hyperplane LSH first so only same-bucket pairs are scored —
-    the 100 TB path (cost ~ n^2 / 2^planes, recall < 1 like any LSH).
-    Dot products are JVM-side zip_with/aggregate — no Python.
+    the 100 TB path. Dot products are JVM zip_with/aggregate — no
+    Python.
 
-    ``max_bucket_size`` caps the LSH path's quadratic term exactly like
-    minhash_lsh_candidates': a degenerate bucket (e.g. near-zero
-    vectors all landing on one sign pattern) would emit |bucket|^2
-    pairs; buckets above the cap are EXCLUDED from pairing and
-    reported by embedding_bucket_stats. None = uncapped; ignored when
-    n_planes=0 (the exact path is already all-pairs by request)."""
+    ``n_tables`` (r4 verdict #3, multi-table OR-banding): a SINGLE
+    p-plane table's recall at cosine c is (1 - theta/pi)^p with theta
+    = arccos(c) — at c=0.8, p=8 that's only ~0.16. L independent
+    tables OR'd give 1-(1-(1-theta/pi)^p)^L: p=8, L=20 => ~0.97 at
+    c=0.8, ~0.999 at c=0.9 (measured ~0.9/1.0 on 24 planted pairs per
+    level: test_embedding_lsh_recall_multitable).
+    Cost ~ L * n^2 / 2^p per bucket-uniform corpus; candidate pairs
+    are deduped on (id_a, id_b) before scoring so a pair colliding in
+    several tables is scored once.
+
+    ``max_bucket_size`` caps the per-(table, bucket) quadratic term
+    exactly like minhash_lsh_candidates': a degenerate bucket (e.g.
+    near-zero vectors all landing on one sign pattern) would emit
+    |bucket|^2 pairs; buckets above the cap are EXCLUDED from pairing
+    and reported by embedding_bucket_stats. None = uncapped; ignored
+    when n_planes=0 (the exact path is already all-pairs by request).
+
+    ``dim``: embedding dimensionality; pass it to avoid the one-row
+    ``head()`` probe job (r4 nit #4)."""
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
@@ -362,20 +389,40 @@ def embedding_near_dup(
     )
     if n_planes > 0:
         rng = np.random.default_rng(seed)
-        dim = len(embeddings.select(vec_col).head()[0])
-        planes = rng.standard_normal((n_planes, dim))
-        a = a.withColumn("bucket", _hyperplane_bucket(F.col("va"), planes))
-        b = b.withColumn("bucket", _hyperplane_bucket(F.col("vb"), planes))
+        if dim is None:
+            dim = len(embeddings.select(vec_col).head()[0])
+        # one seeded draw for all tables: table 0 equals the legacy
+        # single-table planes (back-compat with recorded buckets)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+
+        def banded(df, col):
+            return df.select(
+                *df.columns,
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _hyperplane_bucket(F.col(col), planes[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ])).alias("tb"),
+            ).select(*df.columns, "tb.tbl", "tb.bucket")
+
+        a = banded(a, "va")
+        b = banded(b, "vb")
         if max_bucket_size is not None:
             ok = (
-                a.groupBy("bucket")
+                a.groupBy("tbl", "bucket")
                 .agg(F.count("*").alias("__n"))
                 .filter(F.col("__n") <= max_bucket_size)
-                .select("bucket")
+                .select("tbl", "bucket")
             )
-            a = a.join(ok, "bucket", "left_semi")
-            b = b.join(ok, "bucket", "left_semi")
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+            a = a.join(ok, ["tbl", "bucket"], "left_semi")
+            b = b.join(ok, ["tbl", "bucket"], "left_semi")
+        pairs = (
+            a.join(b, ["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (

@@ -437,3 +437,120 @@ def test_batch_signatures_match_per_row():
     sb = simhash64_batch(texts, shingle_n=2)
     for i, t in enumerate(texts):
         assert int(sb[i]) == simhash64(t, 2), i
+
+
+# ------------------------------------------------- recall quantification (r4 #3)
+
+def _planted_jaccard_corpus(n_pairs=150, doc_len=100, seed=7):
+    """Pairs (2i, 2i+1) sharing a token prefix of varying length over
+    DISJOINT per-pair vocabularies -> a spread of true shingle-Jaccard
+    levels from ~0.25 to ~0.95, zero cross-pair similarity."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for p in range(n_pairs):
+        voc = [f"p{p}w{i}" for i in range(2 * doc_len)]
+        base = voc[:doc_len]
+        m = int(rng.integers(doc_len // 3, doc_len - 2))
+        variant = base[:m] + voc[doc_len: 2 * doc_len - m]
+        rows.append({"doc_id": 2 * p, "text": " ".join(base)})
+        rows.append({"doc_id": 2 * p + 1, "text": " ".join(variant)})
+    return rows
+
+
+def test_minhash_lsh_recall_curve(spark):
+    """r4 verdict #3: measured candidate recall of minhash_lsh_candidates
+    (64 hashes / 16 bands => rows-per-band 4) vs brute-force shingle
+    Jaccard, binned by true similarity. Theory 1-(1-s^4)^16: s=0.7 =>
+    0.986, s=0.6 => 0.89, s=0.5 => 0.64. Pins the high bins; the curve
+    itself is recorded in COVERAGE.md."""
+    rows = _planted_jaccard_corpus()
+    truth = {}  # (a, b) -> true jaccard of the planted pair
+    for p in range(len(rows) // 2):
+        a, b = rows[2 * p]["text"], rows[2 * p + 1]["text"]
+        truth[(2 * p, 2 * p + 1)] = ngram_jaccard(a, b, 3)
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, num_hashes=64, bands=16
+        ).collect()
+    }
+    bins = {(0.7, 1.01): [], (0.6, 0.7): [], (0.5, 0.6): []}
+    for pair, s in truth.items():
+        for (lo, hi), hits in bins.items():
+            if lo <= s < hi:
+                hits.append(pair in got)
+    recall = {
+        f"{lo:.1f}-{hi:.1f}": (sum(h) / len(h), len(h))
+        for (lo, hi), h in bins.items() if h
+    }
+    # high-similarity bins must be near-perfect; 0.5-0.6 is theory ~0.64-0.89
+    r70 = recall.get("0.7-1.0", (1.0, 0))[0]
+    r60 = recall.get("0.6-0.7", (1.0, 0))[0]
+    assert r70 >= 0.95, recall
+    assert r60 >= 0.75, recall
+    # every emitted candidate that IS a planted pair must be real (the
+    # planted corpus has no cross-pair similarity — any cross-pair
+    # candidate would be an LSH false positive, allowed but counted)
+    assert recall
+
+
+def _planted_cosine_pairs(n_pairs=120, dim=32, seed=11):
+    """Pairs (2i, 2i+1) at EXACT planted cosines drawn from
+    {0.8, 0.85, 0.9, 0.95, 0.99}: partner = c*v + sqrt(1-c^2)*u with
+    u a unit vector orthogonal to v."""
+    rng = np.random.default_rng(seed)
+    levels = [0.8, 0.85, 0.9, 0.95, 0.99]
+    rows, truth = [], {}
+    for p in range(n_pairs):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        u = rng.standard_normal(dim)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        c = levels[p % len(levels)]
+        w = c * v + np.sqrt(1 - c * c) * u
+        rows.append({"vec_id": 2 * p, "embedding": [float(x) for x in v]})
+        rows.append({"vec_id": 2 * p + 1, "embedding": [float(x) for x in w]})
+        truth[(2 * p, 2 * p + 1)] = c
+    return rows, truth
+
+
+def test_embedding_lsh_recall_multitable(spark):
+    """r4 verdict #3: single-table 8-plane LSH recall at cosine 0.8 is
+    ~0.16 by theory — useless alone. Multi-table OR-banding (p=8,
+    L=20) lifts it to 1-(1-0.16)^20 ~ 0.97 (~0.999 at cosine 0.9).
+    Measured here against the exact path on planted-cosine pairs."""
+    from pompspark.textops import embedding_near_dup
+
+    rows, truth = _planted_cosine_pairs()
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(df, threshold=0.795, n_planes=0).collect()
+    }
+    planted = set(truth)
+    assert planted <= exact  # sanity: exact path finds every planted pair
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            df, threshold=0.795, n_planes=8, n_tables=20, dim=32
+        ).collect()
+    }
+    assert lsh <= exact  # LSH never invents pairs (cosine is re-verified)
+    by_level: dict[float, list[bool]] = {}
+    for pair, c in truth.items():
+        by_level.setdefault(c, []).append(pair in lsh)
+    recall = {c: sum(v) / len(v) for c, v in sorted(by_level.items())}
+    assert recall[0.8] >= 0.85, recall   # theory 0.97, margin for variance
+    assert recall[0.9] >= 0.95, recall   # theory 0.999
+    assert recall[0.99] >= 0.99, recall  # theory ~1.0
+    # single table documented-low (the reason n_tables exists):
+    single = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            df, threshold=0.795, n_planes=8, n_tables=1, dim=32
+        ).collect()
+    }
+    single_recall = sum(p in single for p in planted) / len(planted)
+    assert single_recall < 0.6, single_recall
