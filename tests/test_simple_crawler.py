@@ -404,3 +404,59 @@ def test_incremental_compact_leaves_terminal_files_untouched(spark, tmp_path):
     # and the folded read holds each url exactly once
     f = eng.cat.read("frontier")
     assert f.count() == f.select("url").distinct().count()
+
+
+@pytest.mark.parametrize("ordering,retries", [("bfs", 0), ("bfs", 1), ("dfs", 0)])
+def test_combined_scale_flags_trace_equivalence(spark, tmp_path, ordering, retries):
+    """r4 verdict #1: the three 10^10 scale paths COMPOSED — banded
+    dequeue + seen_mode='approx' (O(batch) merge, no identity index)
+    + partition-incremental compaction (compact_every=2, the engine
+    default incremental fold) + seen-delta maybe_compact — must still
+    be trace-IDENTICAL to the oracle on the random cross-host web.
+    Each path was grid-tested alone in r2-r4; this pins their
+    interactions (band markers vs replace_partition dirs, seen deltas
+    vs compact cadence, banded reader vs approx merge). The bloom is
+    amply sized for 96 urls, so approx mode has no false positives and
+    exact equivalence is the correct expectation (deterministic given
+    the fixed seeds)."""
+    from pyspark.sql import functions as F
+
+    from pompspark.fixtures import pages_rows
+    from pompspark.frontier import S_RANK, S_ROUND
+    from pompspark.schemas import PAGES
+
+    sitemap, flaky = _random_web(seed=77)
+    pages = spark.createDataFrame(pages_rows(sitemap), schema=PAGES)
+    if retries:
+        mapping = F.create_map(*[F.lit(x) for kv in flaky.items() for x in kv])
+        pages = pages.withColumn(
+            "flaky_fails", F.coalesce(mapping[F.col("url")], F.lit(0))
+        )
+    seeds = [list(sitemap)[0]]
+    eng = simulated_engine(
+        spark, str(tmp_path / f"combo-{ordering}-{retries}"), pages,
+        ordering=ordering, per_round_budget=11, per_host_budget=3,
+        max_retries=retries, retry_delay_rounds=1, compact_every=2,
+        banded_dequeue=True,
+        use_seen_filter=True, seen_mode="approx", use_bucketed_index=False,
+        seen_shards=4, seen_capacity_per_shard=10_000,
+    )
+    eng.seed(seeds)
+    eng.run(max_rounds=200)
+    got = [
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
+        for r in eng.trace().collect()
+    ]
+    sim = OracleCrawl(
+        sitemap=sitemap, ordering=ordering, per_round_budget=11,
+        per_host_budget=3, flaky=flaky if retries else None,
+        max_retries=retries, retry_delay_rounds=1,
+    )
+    sim.seed(seeds)
+    sim.run()
+    assert got == sim.trace_tuples()
+    # the scale paths actually engaged: banded layout exists, seen
+    # table populated, no identity index maintained
+    assert eng.store.band_info() is not None
+    assert eng.cat.read("seen").count() > 0
+    assert not eng.store.use_index
