@@ -140,9 +140,16 @@ class CrawlEngine:
         use_bucketed_index: bool = True,
         index_buckets: int = 32,
         banded_dequeue: bool = False,
+        catalog=None,
     ):
         self.spark = spark
-        self.cat = Catalog(spark, workdir)
+        # ``catalog``: inject an alternative Catalog-surface backend
+        # (pompspark.iceberg.IcebergCatalog) — the "config-only swap".
+        # Non-dir catalogs lose the parquet-layout fast paths (footer
+        # counts, zero-copy trace/state aliasing, band markers) and the
+        # engine routes through their snapshot-based equivalents.
+        self.cat = catalog if catalog is not None else Catalog(spark, workdir)
+        self._dir_layout = getattr(self.cat, "SUPPORTS_DIR_LAYOUT", True)
         self.fetcher = fetcher
         check_speculation_safe(spark, fetcher)
         self.ordering = ordering
@@ -195,12 +202,12 @@ class CrawlEngine:
     def seed(self, seeds: list) -> int:
         rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0,
                                robots_rows=self.robots_rows)
-        seed_dir = self.store.append(rows)
-        seeded = self.spark.read.parquet(seed_dir)
-        if self.store.use_index:
-            self.store.index_append(seeded)
-        if self.seen_filter is not None:
-            self.seen_filter.add(seeded.select("url_hash"))
+        _n, seeded = self.store.append_delta(rows)
+        if seeded is not None:
+            if self.store.use_index:
+                self.store.index_append(seeded)
+            if self.seen_filter is not None:
+                self.seen_filter.add(seeded.select("url_hash"))
         self._checkpoint(budget_left=0)
         return self.cat.current_version("frontier")
 
@@ -438,20 +445,32 @@ class CrawlEngine:
             .otherwise(F.lit("error")).alias("state"),
             (F.col("attempt") + 1).cast("int").alias("attempt"),
         )
-        if self.pipelines:
+        if self.pipelines or not self._dir_layout:
             # pipelines may transform/filter ITEMS only — the crawl
             # (trace/state/links) must see the unfiltered batch, so
             # write the round output to scratch first, then run the
             # pipeline chain into fetch_log (pomp: pipe.process(None)
-            # stops an item, never the crawl).
-            import os as _os
+            # stops an item, never the crawl). Non-dir catalogs take
+            # this materialize-first path too: they cannot alias one
+            # data dir under several tables, so the round is staged
+            # once and each table gets a pruned append.
+            if self._dir_layout:
+                import os as _os
 
-            scratch = _os.path.join(self.cat.root, "_rounds", f"r{r:06d}")
-            round_out.write.mode("overwrite").parquet(scratch)
-            round_df = self.spark.read.parquet(scratch)
-            round_files = scratch
-            if not self.request_middlewares:
-                n_batch = None  # resolved from footers below
+                scratch = _os.path.join(self.cat.root, "_rounds", f"r{r:06d}")
+                round_out.write.mode("overwrite").parquet(scratch)
+                round_df = self.spark.read.parquet(scratch)
+                round_files = scratch
+                if not self.request_middlewares:
+                    n_batch = None  # resolved from footers below
+            else:
+                if not self.cat.exists("round_scratch"):
+                    self.cat.create("round_scratch", round_out.schema)
+                v = self.cat.overwrite("round_scratch", round_out)
+                round_df = self.cat.read("round_scratch")
+                round_files = None
+                if not self.request_middlewares:
+                    n_batch = self.cat.row_count("round_scratch", v)
             items = round_df
             for pipe in self.pipelines:
                 items = pipe(items)
@@ -477,9 +496,10 @@ class CrawlEngine:
         batch.unpersist()
         raw.unpersist()
 
-        if self.pipelines:
-            # pipeline path: trace/state written explicitly from the
-            # scratch round files (pipelines must not affect the crawl)
+        if self.pipelines or not self._dir_layout:
+            # pipeline / non-dir path: trace/state written explicitly
+            # from the staged round (pipelines must not affect the
+            # crawl; non-dir catalogs cannot dir-alias)
             self.cat.append(
                 "trace",
                 round_df.select("seq", "round", "url", "depth", "host"),
@@ -507,7 +527,23 @@ class CrawlEngine:
         metrics_box: dict = {}
 
         def _collect_metrics():
-            metrics_box["rows"] = _metrics_rows(round_files, r, 0, 0)
+            if round_files is not None:
+                metrics_box["rows"] = _metrics_rows(round_files, r, 0, 0)
+            else:
+                # non-dir catalog: no footers to read; one summary row
+                # from an aggregation job over the staged round (the
+                # per-partition lineage granularity is a dir-layout
+                # nicety, not part of the metrics contract)
+                agg = round_df.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.when(F.col("status") == 200,
+                                 F.col("n_bytes")).otherwise(0)).alias("b"),
+                ).head()
+                metrics_box["rows"] = [{
+                    "round": r, "partition_id": 0,
+                    "urls_fetched": int(agg.n), "urls_new": 0,
+                    "bytes": int(agg.b or 0), "wall_ms": 0,
+                }] if agg.n else []
 
         metrics_thread = threading.Thread(target=_collect_metrics)
         metrics_thread.start()
@@ -557,15 +593,12 @@ class CrawlEngine:
             seen_filter=self.seen_filter, robots_rows=self.robots_rows,
             seen_exact=self.seen_mode == "exact",
         )
-        # the append IS the materialization: n_new comes from the
-        # committed files' footers, not a separate .count() action.
-        new_dir = self.store.append(new_rows)
-        from pompspark.tables import dir_row_count
-
-        n_new = dir_row_count(new_dir)
+        # the append IS the materialization: n_new comes from commit
+        # METADATA (parquet footers / Iceberg snapshot summary), not a
+        # separate .count() action.
+        n_new, new_back = self.store.append_delta(new_rows)
         lap("links_merge")
         if n_new:
-            new_back = self.spark.read.parquet(new_dir)
             if self.store.use_index:
                 self.store.index_append(new_back)
             if self.seen_filter is not None:

@@ -780,6 +780,25 @@ class FrontierStore:
         v = self.cat.append("frontier", rows, partition_by=["state"])
         return os.path.join(self.cat._tdir("frontier"), f"data/d-{v:08d}")
 
+    def append_delta(self, rows: DataFrame) -> tuple[int, DataFrame | None]:
+        """Append discovery rows and return ``(n_new, delta_df)`` —
+        the committed count from METADATA (no .count() action) and a
+        reader over exactly the appended rows (no re-filter of the
+        whole table). Dir-layout catalogs: parquet footers + a
+        zero-copy dir read. Others (IcebergCatalog): snapshot-summary
+        ``added-records`` + an incremental append scan. ``delta_df``
+        is None when nothing was appended."""
+        if getattr(self.cat, "SUPPORTS_DIR_LAYOUT", True):
+            from pompspark.tables import dir_row_count
+
+            d = self.append(rows)
+            n = dir_row_count(d)
+            return n, (self.cat.spark.read.parquet(d) if n else None)
+        prev = self.cat.current_version("frontier")
+        v = self.cat.append("frontier", rows, partition_by=["state"])
+        n = self.cat.appended_row_count("frontier", prev, v)
+        return n, (self.cat.read_appended("frontier", prev, v) if n else None)
+
     def mark(self, batch: DataFrame, state_col, round_: int) -> int:
         """Record state transitions for a fetched batch (url_hash, url)."""
         att = (
@@ -836,6 +855,8 @@ class FrontierStore:
         import json
         import os
 
+        if not getattr(self.cat, "SUPPORTS_DIR_LAYOUT", True):
+            return None
         p = self.band_marker_path()
         if not os.path.exists(p):
             return None
@@ -954,16 +975,19 @@ class FrontierStore:
             fld.name for fld in self._state_schema.fields
         ]))
         kept.unpersist()
-        if band_col:
+        # Band markers name hive subdirs of a posix data dir; on a
+        # non-dir catalog (Iceberg) the same pruning comes from
+        # partition stats on (priority, band) — band_info() stays None
+        # and dequeue uses the exact full-scan path.
+        if getattr(self.cat, "SUPPORTS_DIR_LAYOUT", True):
             import os
 
-            self._write_band_marker(f"data/d-{v:08d}", band_col)
-        else:
-            import os
-
-            p = self.band_marker_path()
-            if os.path.exists(p):
-                os.remove(p)
+            if band_col:
+                self._write_band_marker(f"data/d-{v:08d}", band_col)
+            else:
+                p = self.band_marker_path()
+                if os.path.exists(p):
+                    os.remove(p)
         if self.use_index:
             # identity set unchanged by compaction; just re-pin the
             # marker to the new frontier version.

@@ -351,6 +351,10 @@ class SeenFilter:
         self._merged: dict[int, list] | None = None
         self._cache_dirs: set[str] = set()
         self._cache_version: int = -1
+        # non-dir catalogs (no _read_snapshot dirs list): bound delta
+        # accrual by counting appends since the last compact instead
+        self._appends_since_compact: int = 0
+        self._dir_layout: bool = getattr(cat, "SUPPORTS_DIR_LAYOUT", True)
         self._bcast = None
         cat.create("seen", schemas.SEEN)
 
@@ -404,6 +408,7 @@ class SeenFilter:
 
         delta = keyed.groupBy("shard").applyInPandas(fold, schema=schemas.SEEN)
         self.cat.append("seen", delta)
+        self._appends_since_compact += 1
 
     def compact(self) -> None:
         """Per-shard merge of delta blobs (bitwise OR for uniform
@@ -445,14 +450,19 @@ class SeenFilter:
         # compaction rewrote the dirs the cache reflects; next use
         # re-reads the single merged dir (cheap) instead of guessing.
         self._merged, self._cache_dirs, self._cache_version = None, set(), -1
+        self._appends_since_compact = 0
 
     def maybe_compact(self, max_dirs: int = 8) -> bool:
         """Compact when delta dirs accrete past ``max_dirs`` —
         decoupled from frontier compaction so a long crawl with
         compact_every=0 still bounds per-shard blob counts (the
         membership cost is O(deltas per shard))."""
-        v = self.cat.current_version("seen")
-        if len(self.cat._read_snapshot("seen", v)["dirs"]) <= max_dirs:
+        if self._dir_layout:
+            v = self.cat.current_version("seen")
+            n_deltas = len(self.cat._read_snapshot("seen", v)["dirs"])
+        else:
+            n_deltas = self._appends_since_compact
+        if n_deltas <= max_dirs:
             return False
         self.compact()
         return True
@@ -463,6 +473,18 @@ class SeenFilter:
         import glob as _glob
         import os as _os
 
+        if not self._dir_layout:
+            # no posix dirs to stat: conservative DENSE upper bound
+            # (n_shards x per-blob bytes x un-compacted deltas). Only
+            # steers the broadcast-vs-join choice; overestimating
+            # flips to the join path early, which is always correct.
+            if self.kind == "bloom":
+                nbits, _k = bloom_params(self.capacity, self.fp_rate)
+            else:
+                c = Cuckoo.sized(self.capacity)
+                nbits = c.n_buckets * Cuckoo.SLOTS * 16
+            return self.n_shards * (nbits // 8) * (
+                self._appends_since_compact + 1)
         v = self.cat.current_version("seen")
         snap = self.cat._read_snapshot("seen", v)
         total = 0
@@ -521,12 +543,25 @@ class SeenFilter:
         v = self.cat.current_version("seen")
         if v == self._cache_version and self._merged is not None:
             return self._merged
-        snap = self.cat._read_snapshot("seen", v)
-        cur = set(snap["dirs"])
-        if self._merged is None or not self._cache_dirs <= cur:
-            self._merged, self._cache_dirs = {}, set()
-        new_dirs = sorted(cur - self._cache_dirs)
-        for s, kind, nb, nh, blob in self._read_blob_rows(new_dirs):
+        if self._dir_layout:
+            snap = self.cat._read_snapshot("seen", v)
+            cur = set(snap["dirs"])
+            if self._merged is None or not self._cache_dirs <= cur:
+                self._merged, self._cache_dirs = {}, set()
+            new_dirs = sorted(cur - self._cache_dirs)
+            rows_iter = self._read_blob_rows(new_dirs)
+        else:
+            # non-dir catalog: no per-dir incremental read; rebuild
+            # the cache cold from a Spark collect on version change
+            # (rows = n_shards x un-compacted deltas, blob payloads —
+            # the same bounded volume the dir path reads via pyarrow)
+            self._merged, self._cache_dirs, new_dirs = {}, set(), []
+            rows_iter = (
+                (int(r.shard), r.kind, int(r.nbits), int(r.nhashes),
+                 bytes(r.filter))
+                for r in self.cat.read("seen", v).collect()
+            )
+        for s, kind, nb, nh, blob in rows_iter:
             lst = self._merged.setdefault(s, [])
             if kind in ("bloom", "bloomsp") and (
                 not lst

@@ -146,6 +146,16 @@ def _fsync_dir_files(path: str, workers: int = 8) -> None:
 
 
 class Catalog:
+    # Capability contract (pinned by tests/test_iceberg.py): True means
+    # data dirs are plain local/posix parquet paths, so callers may use
+    # the layout fast paths — footer row counts (dir_row_count),
+    # zero-copy delta reads (spark.read.parquet(new_dir)), band-marker
+    # files, and driver-side pyarrow blob reads. Catalogs without the
+    # layout (IcebergCatalog) set False and provide the snapshot-based
+    # equivalents `appended_row_count` / `read_appended` instead; every
+    # fast-path call site falls back through those.
+    SUPPORTS_DIR_LAYOUT = True
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
