@@ -495,14 +495,19 @@ def _crawl_trace(spark: SparkSession, ordering: str) -> DataFrame:
 
 
 def q_crawl_trace_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full engine loop (O11) on the 12-page fixture sitemap —
-    non-SQL-expressible (iterative); rows-only check. Trace equivalence
-    vs the pure-python oracle is pinned in tests/test_simple_crawler."""
+    """The full engine loop (O11) on the 12-page fixture sitemap.
+    Oracled: the whole iterative crawl (per-host caps, robots
+    exclusion, BFS ordering, budgeted rounds, dedup'd discovery) is
+    re-expressed as a DuckDB recursive CTE carrying the crawl state
+    (queued/seen/trace lists) one row per round — see
+    _crawl_trace_oracle_sql. Trace equivalence vs the pure-python
+    oracle is additionally pinned in tests/test_simple_crawler."""
     return _crawl_trace(spark, "bfs")
 
 
 def q_crawl_trace_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DFS (pomp's default LIFO queue) engine trace — rows-only check."""
+    """DFS (pomp's default LIFO queue) engine trace — oracled via the
+    same recursive-CTE simulator with the LIFO sort key."""
     return _crawl_trace(spark, "dfs")
 
 
@@ -636,8 +641,162 @@ def _ann_lsh_oracle_sql(n_planes: int = 4, dim: int = 64, seed: int = 42) -> str
     """
 
 
+def _crawl_trace_oracle_sql(ordering: str) -> str:
+    """DuckDB recursive-CTE oracle for the FULL crawl loop (O11).
+
+    The iterative engine (dequeue -> fetch -> discover, with per-host
+    politeness caps, robots path exclusion and round budgets) is a
+    deterministic state machine, so it IS SQL-expressible: one
+    recursion step per round, the whole crawl state carried as
+    list-typed columns on a single row — ``queued`` (frontier entries
+    still eligible), ``seen`` (every admitted url, any state — first
+    occurrence wins), ``nseq`` (the admission counter that provides
+    the ordering tiebreak) and ``tr`` (the visit trace). Each step:
+
+    1. LATERAL b: rank ``queued`` by the ordering key (bfs: priority
+       DESC, depth, admission seq — FIFO within a class; dfs: priority
+       DESC, seq DESC — pomp's LIFO default), cap per host (robots
+       crawl_delay folded into the cap exactly as the engine does),
+       take the global ``per_round_budget`` -> the fetch batch.
+    2. LATERAL c: explode the batch's outlinks from the fixture
+       sitemap (inlined as an ``edges`` VALUES list) in (fetch rank,
+       anchor pos) order, drop already-seen urls, dedup first-wins,
+       assign admission seqs, mark robots-disallowed urls excluded
+       (admitted to ``seen`` but never queued — engine semantics).
+    3. Fold: queued' = queued - batch + admitted kids; seen' += all
+       new kids; tr' += batch rows.
+
+    The final SELECT unpacks the last round's trace and re-packs the
+    engine's seq encoding (round * 2^45 + fetch_rank * 2^21), so the
+    comparison covers ordering bit-exactly, not just the visited set.
+    Parameters mirror _crawl_trace: per_round_budget=3,
+    per_host_budget=2, round_seconds=1.0, fixtures.SMALL_* web.
+    """
+    import math
+
+    from pompspark.fixtures import SMALL_ROBOTS, SMALL_SEED, SMALL_SITEMAP
+    from pompspark.frontier import S_RANK, S_ROUND
+
+    per_round, per_host, round_seconds = 3, 2, 1.0
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    edges_values = ",\n      ".join(
+        f"({sq(parent)}, {pos}, {sq(child)})"
+        for parent, kids in SMALL_SITEMAP.items()
+        for pos, child in enumerate(kids)
+    )
+    robots_rows = []
+    for host, _txt, delay, disallow in SMALL_ROBOTS:
+        cap = per_host if not delay else min(
+            per_host, max(1, math.floor(round_seconds / delay)))
+        dis = "[" + ", ".join(sq(d) for d in disallow) + "]"
+        robots_rows.append(f"({sq(host)}, {cap}, {dis}::VARCHAR[])")
+    robots_values = ",\n      ".join(robots_rows)
+    seed_host = SMALL_SEED.split("://", 1)[1].split("/", 1)[0]
+    key = ("pri DESC, depth ASC, sq ASC" if ordering == "bfs"
+           else "pri DESC, sq DESC")
+    return f"""
+WITH RECURSIVE
+edges(parent, pos, child) AS (VALUES
+      {edges_values}),
+robots(rhost, cap, disallow) AS (VALUES
+      {robots_values}),
+crawl(rnd, queued, seen, nseq, tr) AS (
+  SELECT 0,
+         [{{'url': {sq(SMALL_SEED)}, 'host': {sq(seed_host)},
+            'depth': 0, 'pri': 1.0, 'sq': 0, 'rk': 0}}],
+         [{sq(SMALL_SEED)}],
+         1,
+         CAST([] AS STRUCT(rnd INTEGER, rk INTEGER, url VARCHAR,
+                           depth INTEGER, host VARCHAR)[])
+  UNION ALL
+  SELECT t.rnd + 1,
+         list_concat(
+           list_filter(t.queued,
+             q -> NOT list_contains(list_transform(b.batch, x -> x.url),
+                                    q.url)),
+           COALESCE(c.admitted, [])),
+         list_concat(t.seen, COALESCE(c.newurls, [])),
+         t.nseq + COALESCE(c.nnew, 0),
+         list_concat(t.tr, b.trows)
+  FROM crawl t,
+  LATERAL (
+    -- the round's fetch batch: per-host cap, then global budget,
+    -- both by the ordering key
+    SELECT COALESCE(list({{'url': url, 'host': host, 'depth': depth,
+                           'pri': pri, 'sq': sq, 'rk': rk}} ORDER BY rk),
+                    []) AS batch,
+           COALESCE(list({{'rnd': t.rnd + 1, 'rk': rk, 'url': url,
+                           'depth': depth, 'host': host}} ORDER BY rk),
+                    []) AS trows
+    FROM (
+      SELECT url, host, depth, pri, sq,
+             CAST(row_number() OVER (ORDER BY {key}) AS INTEGER) - 1 AS rk
+      FROM (
+        SELECT q.url, q.host, q.depth, q.pri, q.sq,
+               row_number() OVER (PARTITION BY q.host ORDER BY {key}) AS hr,
+               COALESCE(r.cap, {per_host}) AS hcap
+        FROM (SELECT unnest(t.queued, recursive := true)) q
+        LEFT JOIN robots r ON r.rhost = q.host
+      )
+      WHERE hr <= hcap
+      ORDER BY {key}
+      LIMIT {per_round}
+    )
+  ) b,
+  LATERAL (
+    -- discoveries: outlinks in (fetch rank, anchor pos) order,
+    -- first occurrence wins, robots-disallowed admitted-but-excluded
+    SELECT list({{'url': url, 'host': chost, 'depth': cdepth,
+                  'pri': 0.5, 'sq': csq, 'rk': 0}} ORDER BY csq)
+             FILTER (WHERE NOT excl) AS admitted,
+           list(url ORDER BY csq) AS newurls,
+           COUNT(*)::INTEGER AS nnew
+    FROM (
+      SELECT x.child AS url, x.chost, x.cdepth,
+             CAST(t.nseq + row_number() OVER (ORDER BY x.rk, x.pos) - 1
+                  AS INTEGER) AS csq,
+             COALESCE((SELECT bool_or(starts_with(x.cpath, d.d))
+                       FROM unnest(r.disallow) AS d(d)), false) AS excl
+      FROM (
+        SELECT e.child, bs.rk, e.pos,
+               split_part(replace(e.child, 'http://', ''), '/', 1) AS chost,
+               '/' || split_part(replace(e.child, 'http://', ''), '/', 2)
+                 AS cpath,
+               bs.depth + 1 AS cdepth,
+               row_number() OVER (PARTITION BY e.child
+                                  ORDER BY bs.rk, e.pos) AS dup
+        FROM (SELECT unnest(b.batch, recursive := true)) bs
+        JOIN edges e ON e.parent = bs.url
+        WHERE NOT list_contains(t.seen, e.child)
+      ) x
+      LEFT JOIN robots r ON r.rhost = x.chost
+      WHERE x.dup = 1
+    )
+  ) c
+  WHERE len(t.queued) > 0
+)
+SELECT CAST(s.rnd AS BIGINT) * {S_ROUND}
+         + CAST(s.rk AS BIGINT) * {S_RANK} AS seq,
+       CAST(s.rnd AS INTEGER) AS round,
+       s.url AS url,
+       CAST(s.depth AS INTEGER) AS depth,
+       s.host AS host
+FROM (SELECT unnest(tr) AS s
+      FROM crawl WHERE rnd = (SELECT max(rnd) FROM crawl))
+ORDER BY seq
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_literal()
+    # the full engine loop is a deterministic state machine: its
+    # recursive-CTE re-expression flips crawl_trace_* from rows-only
+    # to oracled (ordering compared bit-exactly via the seq packing)
+    sql["crawl_trace_bfs"] = _crawl_trace_oracle_sql("bfs")
+    sql["crawl_trace_dfs"] = _crawl_trace_oracle_sql("dfs")
     # the hashed-shingle variant must produce IDENTICAL jaccard values
     # to the string-shingle path (xxhash64 is injective absent 64-bit
     # collisions), so its oracle IS the string SQL
@@ -973,12 +1132,13 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         """,
+        # (crawl_trace_bfs / crawl_trace_dfs are oracled too — via the
+        # generated recursive-CTE simulator, _crawl_trace_oracle_sql)
         # rows-only by declared design (each pinned by a pytest):
-        # - crawl_trace_bfs / crawl_trace_dfs: iterative engine loop
-        #   (trace equivalence vs the pure-python oracle is pinned in
-        #   tests/test_simple_crawler.py's grid)
         # - minhash_near_dup / simhash_groups / simhash_near_dup:
         #   numpy-hash-derived signatures (property-tested in
         #   tests/test_textops.py; simhash_near_dup recall is pinned
         #   EQUAL to an all-pairs popcount oracle there)
+        # - ann_topk_ivf_trained: iterative Lloyd's (recall pinned in
+        #   tests/test_textops.py)
     }

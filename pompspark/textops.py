@@ -597,14 +597,17 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN scale path: random-hyperplane LSH signs bucket the corpus;
     each query scans only its bucket (recall < 1, cost ~ n/2^planes).
     Planes are a deterministic broadcast little matrix; sign bits are
-    computed JVM-side per plane."""
+    computed JVM-side per plane. Pass ``dim`` (embedding width) to
+    skip the one-row ``head()`` probe job (r4 nit #4)."""
     rng = np.random.default_rng(seed)
-    # dimension from one row (driver peek; embeddings are fixed-width)
-    dim = len(embeddings.select(vec_col).head()[0])
+    if dim is None:
+        # dimension from one row (driver peek; embeddings are fixed-width)
+        dim = len(embeddings.select(vec_col).head()[0])
     planes = rng.standard_normal((n_planes, dim))
 
     def sign_col(col, plane) -> F.Column:
