@@ -288,6 +288,13 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs)."""
     from pompspark.textops import minhash_md5_near_dup
 
+    return minhash_md5_near_dup(_md5_corpus(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def _md5_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic near-dup corpus both engines derive in-query
+    (each doc + a 90%-truncated copy at id+100000) — shared by the
+    minhash_near_dup_md5 pipeline and the components stage on top."""
     d = (
         _documents(spark, sf_dir)
         .filter(F.length(F.trim("text")) > 0)
@@ -299,8 +306,62 @@ def q_minhash_near_dup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1), F.floor(F.lit(0.9) * F.length("text")).cast("int")
         ).alias("text"),
     )
-    corpus = d.unionByName(trunc)
-    return minhash_md5_near_dup(corpus).orderBy("id_a", "id_b")
+    return d.unionByName(trunc)
+
+
+def q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST stage of near-dup dedup, oracled end to end ON TOP of
+    the full MinHash-LSH pipeline: verified pairs (jaccard >= 0.5 from
+    minhash_near_dup_md5's exact corpus) -> connected components
+    (graph.connected_components, alternating large-star/small-star) ->
+    one canonical survivor per cluster. Pair lists over-delete
+    (a~b, b~c must not drop both a and c); clusters are what a 100 TB
+    dedup actually keeps/drops. Oracle: the same pipeline SQL feeding
+    a DuckDB recursive CTE (min reachable id per node)."""
+    from pompspark.graph import dedup_survivors
+    from pompspark.textops import minhash_md5_near_dup
+
+    corpus = _md5_corpus(spark, sf_dir)
+    pairs = minhash_md5_near_dup(corpus)
+    return (
+        dedup_survivors(corpus, pairs)
+        .select(
+            "doc_id",
+            "component",
+            F.col("is_canonical").cast("int").alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PAGERANK_HOSTS = 200
+PAGERANK_ITERS = 5
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-crawl prioritizer: PageRank over a deterministic host link
+    graph (host i -> (7i+c) mod N for c in 1..3, N=200), 5 power
+    iterations in EXACT integer micro-units (graph.pagerank: floor
+    divisions, 64-bit sums) so the DuckDB chained-CTE oracle
+    hash-matches bit for bit — a floating-point PageRank could never
+    be value-hash-compared across engines. graph.host_tiers turns the
+    ranks into dequeue priorities (apply_host_priority seam;
+    tests/test_graph.py pins the frontier integration)."""
+    from pompspark.graph import pagerank
+
+    n = PAGERANK_HOSTS
+    hosts = spark.range(n).select(F.col("id").alias("node"))
+    edges = (
+        hosts.select(
+            "node", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("c")
+        )
+        .select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 7 + F.col("c")) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, iters=PAGERANK_ITERS).orderBy("node")
 
 
 def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +375,47 @@ def q_streaming_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_rollup(
         spark, os.path.join(sf_dir, "events.parquet")
     ).orderBy("w_start", "event_type")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% corpus subset (curation.hash_sample): keep a
+    row iff substr(md5(doc_id),1,4) < '4000' — a pure map-side filter
+    (no shuffle, no RNG), so every engine and every re-run selects the
+    SAME rows; that content-keyed reproducibility is what makes the
+    train/holdout split auditable at 100 TB."""
+    from pompspark.curation import hash_sample
+
+    return hash_sample(_documents(spark, sf_dir), "doc_id", 0.25).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rebalancing (curation.stratified_sample): keep 25%
+    of 'en' (the dominant stratum) and all other languages — the
+    CASE-threshold compiles into the same map-side filter as
+    hash_sample, never a join."""
+    from pompspark.curation import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir), "lang", {"en": 0.25}, key_col="doc_id"
+    ).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (curation.quota_sample): at most 10
+    docs per source, lowest doc_id first — the hot-host cap every web
+    corpus applies. One shuffle on the quota key; rank kept so the
+    oracle also pins WHICH rows survived and in what order."""
+    from pompspark.curation import quota_sample
+
+    out = quota_sample(
+        _documents(spark, sf_dir), "source", cap=10,
+        order_by=F.col("doc_id").asc(), keep_rank=True,
+    )
+    return out.select(
+        "doc_id", "source", F.col("quota_rank").cast("long").alias("quota_rank")
+    ).orderBy("doc_id")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_banding": q_simhash_banding,
         "minhash_near_dup_md5": q_minhash_near_dup_md5,
+        "near_dup_components": q_near_dup_components,
+        "host_pagerank": q_host_pagerank,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "quota_sample": q_quota_sample,
         "text_quality": q_text_quality,
         "lang_token_stats": q_lang_token_stats,
         "url_salt_distribution": q_url_salt_distribution,
@@ -804,6 +911,96 @@ def oracle_sql() -> dict[str, str]:
     return sql
 
 
+# The full MinHash-LSH pipeline as a reusable CTE chain ending at
+# `pairs` (id_a, id_b, jaccard): shingle -> 8 salted-md5 minhashes ->
+# 4 bands -> bucket-join candidates -> exact Jaccard. Shared by the
+# minhash_near_dup_md5 oracle and the components oracle stacked on it.
+_MD5_PIPELINE_CTE = r"""src AS (
+              SELECT doc_id, text FROM documents
+              WHERE length(trim(text)) > 0
+            ), corpus AS (
+              SELECT doc_id, text FROM src
+              UNION ALL
+              SELECT doc_id + 100000,
+                     substring(text, 1,
+                               CAST(floor(0.9 * length(text)) AS INT))
+              FROM src
+            ), tok AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM corpus
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                         list_distinct(list_transform(
+                             range(1, len(toks) - 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM tok
+            ), m AS (
+              SELECT doc_id, sh,
+                'b0:' || list_min(list_transform(sh, x -> md5('h0/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h1/' || x))) AS b0,
+                'b1:' || list_min(list_transform(sh, x -> md5('h2/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h3/' || x))) AS b1,
+                'b2:' || list_min(list_transform(sh, x -> md5('h4/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h5/' || x))) AS b2,
+                'b3:' || list_min(list_transform(sh, x -> md5('h6/' || x)))
+                      || list_min(list_transform(sh, x -> md5('h7/' || x))) AS b3
+              FROM s
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+              FROM m a JOIN m b
+                ON b.doc_id > a.doc_id
+               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+            )"""
+
+
+def _pagerank_oracle_sql(
+    n_hosts: int = PAGERANK_HOSTS,
+    iters: int = PAGERANK_ITERS,
+    damping_pct: int = 85,
+) -> str:
+    """Chained-CTE integer PageRank: pr0..pr{iters}, every op a 64-bit
+    floor division or exact integer sum, so the values hash-match
+    graph.pagerank bit for bit (all operands non-negative, where
+    DuckDB's // floor-div == Spark's `div` truncation)."""
+    scale = 1_000_000_000
+    base = scale * (100 - damping_pct) // 100
+    sql = f"""
+            WITH nodes AS (
+              SELECT CAST(UNNEST(RANGE(0, {n_hosts})) AS BIGINT) AS node
+            ),
+            edges AS (
+              SELECT node AS src, (node * 7 + c) % {n_hosts} AS dst
+              FROM nodes CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS c)
+              WHERE (node * 7 + c) % {n_hosts} <> node
+            ),
+            e AS (SELECT DISTINCT src, dst FROM edges),
+            outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+            pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"""
+    for t in range(1, iters + 1):
+        sql += f""",
+            c{t} AS (
+              SELECT e.dst AS node,
+                     SUM(p.rank // o.od) AS mass
+              FROM e
+              JOIN outdeg o ON o.src = e.src
+              JOIN pr{t - 1} p ON p.node = e.src
+              GROUP BY e.dst
+            ),
+            pr{t} AS (
+              SELECT n.node,
+                     CAST({base} + ({damping_pct} * COALESCE(c.mass, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+            )"""
+    sql += f"""
+            SELECT node, rank FROM pr{iters} ORDER BY node"""
+    return sql
+
+
 def _oracle_sql_literal() -> dict[str, str]:
     return {
         "ann_topk_lsh": _ann_lsh_oracle_sql(),
@@ -917,50 +1114,62 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY w_start, event_type
         """,
-        "minhash_near_dup_md5": r"""
-            WITH src AS (
-              SELECT doc_id, text FROM documents
-              WHERE length(trim(text)) > 0
-            ), corpus AS (
-              SELECT doc_id, text FROM src
-              UNION ALL
-              SELECT doc_id + 100000,
-                     substring(text, 1,
-                               CAST(floor(0.9 * length(text)) AS INT))
-              FROM src
-            ), tok AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-              FROM corpus
-            ), s AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                         list_distinct(list_transform(
-                             range(1, len(toks) - 1),
-                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-                     ELSE [array_to_string(toks, ' ')] END AS sh
-              FROM tok
-            ), m AS (
-              SELECT doc_id, sh,
-                'b0:' || list_min(list_transform(sh, x -> md5('h0/' || x)))
-                      || list_min(list_transform(sh, x -> md5('h1/' || x))) AS b0,
-                'b1:' || list_min(list_transform(sh, x -> md5('h2/' || x)))
-                      || list_min(list_transform(sh, x -> md5('h3/' || x))) AS b1,
-                'b2:' || list_min(list_transform(sh, x -> md5('h4/' || x)))
-                      || list_min(list_transform(sh, x -> md5('h5/' || x))) AS b2,
-                'b3:' || list_min(list_transform(sh, x -> md5('h6/' || x)))
-                      || list_min(list_transform(sh, x -> md5('h7/' || x))) AS b3
-              FROM s
-            ), pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                       / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-              FROM m a JOIN m b
-                ON b.doc_id > a.doc_id
-               AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-            )
+        "minhash_near_dup_md5": f"""
+            WITH {_MD5_PIPELINE_CTE}
             SELECT id_a, id_b, jaccard FROM pairs
             WHERE jaccard >= 0.5
             ORDER BY id_a, id_b
+        """,
+        # pairs -> clusters -> keep-one, stacked on the SAME pipeline:
+        # a DuckDB recursive CTE computes min-reachable-id components
+        # over the verified pair graph (the oracle twin of
+        # graph.connected_components' star contraction)
+        "near_dup_components": f"""
+            WITH RECURSIVE {_MD5_PIPELINE_CTE},
+            dup AS (
+              SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5
+            ),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM dup
+              UNION
+              SELECT id_b, id_a FROM dup
+            ),
+            reach(node, comp) AS (
+              SELECT u, u FROM sym
+              UNION
+              SELECT e.v, r.comp FROM reach r JOIN sym e ON e.u = r.node
+            ),
+            cc AS (
+              SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+            )
+            SELECT c.doc_id,
+                   CAST(COALESCE(cc.component, c.doc_id) AS BIGINT) AS component,
+                   CAST(COALESCE(cc.component, c.doc_id) = c.doc_id AS INT)
+                     AS is_canonical
+            FROM corpus c LEFT JOIN cc ON cc.node = c.doc_id
+            ORDER BY c.doc_id
+        """,
+        "host_pagerank": _pagerank_oracle_sql(),
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+            ORDER BY doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < (CASE WHEN lang = 'en' THEN '4000' ELSE 'g' END)
+            ORDER BY doc_id
+        """,
+        "quota_sample": """
+            SELECT doc_id, source, quota_rank FROM (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                     ) AS BIGINT) AS quota_rank
+              FROM documents
+            ) WHERE quota_rank <= 10
+            ORDER BY doc_id
         """,
         "simhash_banding": """
             WITH banded AS (

@@ -141,6 +141,7 @@ class CrawlEngine:
         index_buckets: int = 32,
         banded_dequeue: bool = False,
         catalog=None,
+        frontier_transform: Callable[[DataFrame], DataFrame] | None = None,
     ):
         self.spark = spark
         # ``catalog``: inject an alternative Catalog-surface backend
@@ -163,6 +164,12 @@ class CrawlEngine:
         self.max_retries = max_retries
         self.retry_delay_rounds = retry_delay_rounds
         self.banded_dequeue = banded_dequeue
+        # tier-crawl seam (graph.tier_priority_transform): every batch
+        # of FRONTIER rows (seeds + merged discoveries) passes through
+        # the transform before it is committed, so a host-authority
+        # re-prioritization composes with dequeue order without the
+        # dequeue knowing about it. Schema is re-pinned after the call.
+        self.frontier_transform = frontier_transform
 
         self.store = FrontierStore(
             self.cat, index_buckets=index_buckets, use_index=use_bucketed_index
@@ -199,9 +206,24 @@ class CrawlEngine:
         self.urls_fetched_total = 0
 
     # ------------------------------------------------------------ lifecycle
+    def _transform_frontier(self, rows: DataFrame) -> DataFrame:
+        if self.frontier_transform is None:
+            return rows
+        out = self.frontier_transform(rows)
+        # re-pin the FRONTIER contract: exact column set/order, and
+        # priority back to double (a transform returning ints must not
+        # change the table schema)
+        return out.select(
+            *[
+                F.col(c).cast("double").alias(c) if c == "priority" else F.col(c)
+                for c in FRONTIER_COLS
+            ]
+        )
+
     def seed(self, seeds: list) -> int:
         rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0,
                                robots_rows=self.robots_rows)
+        rows = self._transform_frontier(rows)
         _n, seeded = self.store.append_delta(rows)
         if seeded is not None:
             if self.store.use_index:
@@ -593,6 +615,7 @@ class CrawlEngine:
             seen_filter=self.seen_filter, robots_rows=self.robots_rows,
             seen_exact=self.seen_mode == "exact",
         )
+        new_rows = self._transform_frontier(new_rows)
         # the append IS the materialization: n_new comes from commit
         # METADATA (parquet footers / Iceberg snapshot summary), not a
         # separate .count() action.
@@ -645,6 +668,40 @@ class CrawlEngine:
 
     def fetch_log(self) -> DataFrame:
         return self.cat.read("fetch_log")
+
+    def link_edges(self) -> DataFrame:
+        """(host, links[]) rows of successful fetches — the input of
+        graph.host_rank_from_fetch_log's tier-crawl loop. Dir layout
+        only: the working columns ride in the round files next to the
+        declared FETCH_LOG schema (run_round's single materialization)
+        and fetch_log() schema-projects them away; this reads them back
+        without a second copy ever being written. Files that predate
+        the working columns (the empty-table seed) read as nulls and
+        are filtered."""
+        if not self._dir_layout:
+            raise NotImplementedError(
+                "link_edges() requires the dir-layout catalog; non-dir "
+                "catalogs persist only the declared FETCH_LOG columns — "
+                "log (host, links) through a pipeline there instead"
+            )
+        dirs = self.cat.snapshot_dirs("fetch_log")
+        empty = self.spark.createDataFrame(
+            [], "host string, links array<string>"
+        )
+        if not dirs:
+            return empty
+        return (
+            self.spark.read.schema(
+                "status int, host string, links array<string>"
+            )
+            .parquet(*dirs)
+            .filter(
+                (F.col("status") == 200)
+                & F.col("host").isNotNull()
+                & F.col("links").isNotNull()
+            )
+            .select("host", "links")
+        )
 
     def metrics(self) -> DataFrame:
         return self.cat.read("metrics")

@@ -398,6 +398,14 @@ class Catalog:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def snapshot_dirs(self, table: str, version: int | None = None) -> list[str]:
+        """Absolute data dirs of a snapshot, in commit order — for
+        callers that read PHYSICAL columns riding alongside a table's
+        declared schema in aliased files (read() projects them away)."""
+        v = version if version is not None else self.current_version(table)
+        snap = self._read_snapshot(table, v)
+        return [os.path.join(self._tdir(table), d) for d in snap["dirs"]]
+
     def row_count(self, table: str, version: int | None = None) -> int:
         """Exact row count from parquet footers across the snapshot's
         data dirs — driver metadata IO, zero Spark jobs (Iceberg

@@ -57,11 +57,13 @@ def test_surface_covers_engine_call_sites():
         used |= set(re.findall(r"\bcat\.([a-zA-Z_]+)\(", src))
         used |= set(re.findall(r"\bself\.cat\.([a-zA-Z_]+)\(", src))
     missing = used - set(surface()) - set(delta_surface())
-    # the two parquet-private calls are the layout fast paths; every
-    # site is gated on SUPPORTS_DIR_LAYOUT, which is enforced
-    # FUNCTIONALLY by test_engine_runs_on_non_dir_catalog below (the
-    # wrapper raises on any private access)
-    assert missing <= {"_tdir", "_read_snapshot"}, (
+    # the parquet-layout calls are the dir-layout fast paths (incl.
+    # snapshot_dirs, which link_edges uses to read the round files'
+    # physical columns); every site is gated on SUPPORTS_DIR_LAYOUT,
+    # which is enforced FUNCTIONALLY by
+    # test_engine_runs_on_non_dir_catalog below (the wrapper raises on
+    # any private access) and by link_edges' explicit raise
+    assert missing <= {"_tdir", "_read_snapshot", "snapshot_dirs"}, (
         f"engine calls not in pinned surface: {missing}"
     )
     # and the non-dir extension methods exist on IcebergCatalog

@@ -221,3 +221,41 @@ def test_index_compact_one_file_per_bucket(spark, tmp_path):
     assert n_exchange == 1, f"expected 1 url_hash exchange, got {n_exchange}:\n{plan}"
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
     assert new_frontier_rows(disc, store.identity_rows(), robots, 1).count() == 100
+
+
+def test_hash_sample_is_map_side_no_shuffle(spark, tmp_path):
+    """curation.hash_sample / stratified_sample compile to a filter in
+    the scan stage: no Exchange anywhere (the whole point — a 100 TB
+    subset selection that costs one pass and no shuffle), and the
+    filter is visible in the parquet scan's data filters."""
+    from pompspark.curation import hash_sample, stratified_sample
+
+    p = str(tmp_path / "docs")
+    spark.range(100).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as lang"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+
+    plan = _plan(hash_sample(docs, "doc_id", 0.25))
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan
+
+    plan2 = _plan(stratified_sample(docs, "lang", {"0": 0.25}, key_col="doc_id"))
+    assert "Exchange" not in plan2, plan2
+
+
+def test_quota_sample_single_exchange_on_quota_key(spark, tmp_path):
+    """quota_sample costs exactly one shuffle (hash-partition on the
+    quota key for the rank window) — never a global sort."""
+    import re
+
+    from pompspark.curation import quota_sample
+
+    p = str(tmp_path / "docs_q")
+    spark.range(100).selectExpr(
+        "id as doc_id", "cast(id % 3 as string) as source"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(quota_sample(docs, "source", 5, F.col("doc_id").asc()))
+    assert len(re.findall(r"\bExchange hashpartitioning\(source", plan)) == 1, plan
+    assert "rangepartitioning" not in plan, plan
