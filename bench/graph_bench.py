@@ -78,18 +78,23 @@ def main() -> None:
         "queries": {},
     }
 
-    t0 = time.monotonic()
-    cc = connected_components(edges, max_iters=50)
-    comp_count = cc.select("component").distinct().count()
-    cc_wall = time.monotonic() - t0
-    out["queries"]["connected_components"] = round(cc_wall, 3)
-    out["cc_components"] = comp_count
-    # correctness spot-check at scale: the chain is ONE component and
-    # every chain node got the chain minimum (= n) as its label
-    chain_ok = (
-        cc.filter((F.col("id") >= n) & (F.col("component") != n)).limit(1).count() == 0
-    )
-    out["cc_chain_collapsed"] = bool(chain_ok)
+    if os.environ.get("GRAPH_BENCH_SKIP_CC") != "1":
+        t0 = time.monotonic()
+        cc_stats: dict = {}
+        cc = connected_components(edges, max_iters=50, stats=cc_stats)
+        comp_count = cc.select("component").distinct().count()
+        cc_wall = time.monotonic() - t0
+        out["queries"]["connected_components"] = round(cc_wall, 3)
+        out["cc_components"] = comp_count
+        out["cc_rounds"] = cc_stats.get("rounds")
+        # correctness spot-check at scale: the chain is ONE component
+        # and every chain node got the chain minimum (= n) as its label
+        chain_ok = (
+            cc.filter((F.col("id") >= n) & (F.col("component") != n)).limit(1).count() == 0
+        )
+        out["cc_chain_collapsed"] = bool(chain_ok)
+    else:
+        cc_wall = 0.0
 
     t0 = time.monotonic()
     pr = pagerank(edges, iters=pr_iters)
