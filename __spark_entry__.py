@@ -418,6 +418,45 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
+    bootstrap path): per-source sitemap bodies are synthesized
+    IN-QUERY from the documents table (sort_array keeps the synthesis
+    order engine-independent), then the JVM regexp explode pulls the
+    locs back out — both the synthesis and the extraction oracled."""
+    from pompspark.sitemap import sitemap_locs
+
+    d = _documents(spark, sf_dir)
+    entry = F.concat(
+        F.lit("<url><loc>http://"), F.col("source"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+        F.lit("</loc></url>"),
+    )
+    pages = (
+        d.select("source", entry.alias("s"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.sort_array(F.collect_list("s"))),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("http://"), F.col("source"),
+                     F.lit(".example/sitemap.xml")).alias("url"),
+            "body",
+        )
+    )
+    return (
+        sitemap_locs(pages)
+        .select(
+            "sitemap_url", "loc", F.col("is_index").cast("int").alias("is_index")
+        )
+        .orderBy("sitemap_url", "loc")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality counters per doc (integral outputs only): chars, words
     (space-separated), dots — crawl-side quality scoring primitive."""
@@ -666,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "host_pagerank": q_host_pagerank,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
+        "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "quota_sample": q_quota_sample,
@@ -1150,6 +1190,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(),
+        "sitemap_extract": r"""
+            WITH bodies AS (
+              SELECT 'http://' || source || '.example/sitemap.xml'
+                       AS sitemap_url,
+                     '<urlset>' || string_agg(s, '' ORDER BY s)
+                       || '</urlset>' AS body
+              FROM (
+                SELECT source,
+                       '<url><loc>http://' || source || '.example/doc/'
+                         || CAST(doc_id AS VARCHAR) || '</loc></url>' AS s
+                FROM documents
+              ) GROUP BY source
+            )
+            SELECT sitemap_url,
+                   UNNEST(regexp_extract_all(
+                     body, '<loc>\s*([^<]*?)\s*</loc>', 1)) AS loc,
+                   CAST(0 AS INT) AS is_index
+            FROM bodies
+            ORDER BY sitemap_url, loc
+        """,
         "hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'

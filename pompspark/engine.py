@@ -233,6 +233,77 @@ class CrawlEngine:
         self._checkpoint(budget_left=0)
         return self.cat.current_version("frontier")
 
+    def seed_frontier(self, urls: DataFrame, priority: float | None = None,
+                      url_col: str = "url") -> int:
+        """Bulk-seed from a DataFrame — the sitemap-scale entry point
+        (pompspark.sitemap: one host's sitemap index can carry 10^9
+        locs, which must never pass through a driver-side list the way
+        seed() seeds do).
+
+        Same canonicalization as the link merge (JVM rlike gate, the
+        pandas UDF sees only the non-canonical minority), exact
+        anti-join against the frontier identity index, robots gating,
+        and the frontier_transform hook. ``seq`` is xxhash64(url):
+        bulk seeds have no meaningful list order, so within the seed
+        priority class the dequeue order is deterministic HASH order
+        (an xxhash64 tie would make the tied pair's relative order
+        partition-dependent; at 10^8 seeds expect ~0.0003 ties).
+        Returns the number of rows actually enqueued.
+        """
+        from pompspark.canon import CANONICAL_PATTERN
+        from pompspark.frontier import (
+            SEED_PRIORITY,
+            _anti_join_existing,
+            _identity_cols,
+            _state_col,
+        )
+        from pompspark.robots import with_robots
+
+        pri = SEED_PRIORITY if priority is None else float(priority)
+        canon_udf, _, host_udf = register_udfs()
+        is_fast = F.col(url_col).rlike(CANONICAL_PATTERN)
+        slow = F.when(is_fast, F.lit(None).cast("string")).otherwise(F.col(url_col))
+        canon = F.coalesce(F.when(is_fast, F.col(url_col)), canon_udf(slow))
+        d = (
+            urls.select(canon.alias("url"), is_fast.alias("__fast"))
+            .filter(F.col("url").isNotNull())
+            .select(
+                "url",
+                F.when(
+                    F.col("__fast"),
+                    F.regexp_extract("url", r"^https?://([^/]+)", 1),
+                ).otherwise(
+                    host_udf(
+                        F.when(F.col("__fast"), F.lit(None).cast("string"))
+                        .otherwise(F.col("url"))
+                    )
+                ).alias("host"),
+            )
+            .filter(F.col("host").isNotNull())
+            .dropDuplicates(["url"])
+            .withColumn("url_hash", F.xxhash64("url"))
+        )
+        fresh = _anti_join_existing(d, self.store.identity_rows())
+        fresh = with_robots(fresh, self.robots_df, robots_rows=self.robots_rows)
+        rows = fresh.select(
+            "url", *_identity_cols(F.col("url"))[:2], "host",
+            F.lit(0).cast("int").alias("depth"),
+            F.lit(pri).cast("double").alias("priority"),
+            F.lit(self.round).cast("int").alias("discovered_round"),
+            F.xxhash64("url").alias("seq"),
+            _identity_cols(F.col("url"))[2],
+            _state_col(self.robots_df).alias("state"),
+        ).select(*FRONTIER_COLS)
+        rows = self._transform_frontier(rows)
+        n_new, seeded = self.store.append_delta(rows)
+        if seeded is not None:
+            if self.store.use_index:
+                self.store.index_append(seeded)
+            if self.seen_filter is not None:
+                self.seen_filter.add(seeded.select("url_hash"))
+        self._checkpoint(budget_left=0)
+        return n_new
+
     def _checkpoint(self, budget_left: int) -> None:
         # driver-side pyarrow commit (Catalog.append_rows): a 1-row
         # Spark write per round is pure serial overhead.
