@@ -418,6 +418,50 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filter (textclean.clean_lines): multi-line docs
+    are synthesized in-query (a proper sentence + 'Menu' + a
+    punctuation-less text snippet + 'Read more'); only sentence-like
+    lines (>=3 words, terminal punctuation) survive. All JVM (split ->
+    higher-order filter -> array_join); DuckDB twin uses
+    list_filter/regexp_matches."""
+    from pompspark.textclean import clean_lines
+
+    d = _documents(spark, sf_dir)
+    t2 = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Sentence about "), F.col("lang"), F.lit(" number "),
+                 F.col("doc_id").cast("string"), F.lit(".")),
+        F.lit("Menu"),
+        F.substring("text", 1, 40),
+        F.lit("Read more"),
+    )
+    return clean_lines(d.select("doc_id", t2.alias("text"))).orderBy("doc_id")
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (textclean.dedup_lines, the
+    C4 boilerplate pass): synthesized docs carry a unique line, two
+    boilerplate lines ('lang <x>' shared by its language, 'COMMON
+    FOOTER' shared by all), and a text snippet; lines occurring >3
+    times corpus-wide vanish from every doc, per-doc order preserved.
+    Engine counts on xxhash64(line); the oracle groups on the line
+    string — identical absent 64-bit collisions."""
+    from pompspark.textclean import dedup_lines
+
+    d = _documents(spark, sf_dir)
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+        F.concat(F.lit("lang "), F.col("lang")),
+        F.lit("COMMON FOOTER"),
+        F.substring("text", 1, 30),
+    )
+    return dedup_lines(
+        d.select("doc_id", txt.alias("text")), max_occurrences=3
+    ).orderBy("doc_id")
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
     bootstrap path): per-source sitemap bodies are synthesized
@@ -705,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "host_pagerank": q_host_pagerank,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
+        "clean_lines": q_clean_lines,
+        "dedup_lines": q_dedup_lines,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1190,6 +1236,41 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(),
+        "clean_lines": r"""
+            SELECT doc_id,
+              array_to_string(list_filter(string_split(t2, chr(10)),
+                l -> len(string_split_regex(trim(l), '\s+')) >= 3
+                     AND regexp_matches(l, '[.!?"'']\s*$')),
+                chr(10)) AS text
+            FROM (SELECT doc_id,
+                    'Sentence about ' || lang || ' number '
+                      || CAST(doc_id AS VARCHAR) || '.'
+                    || chr(10) || 'Menu' || chr(10) || substring(text, 1, 40)
+                    || chr(10) || 'Read more' AS t2
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "dedup_lines": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                     'lang ' || lang || chr(10) ||
+                     'COMMON FOOTER' || chr(10) ||
+                     substring(text, 1, 30) AS txt
+              FROM documents
+            ),
+            ls AS (SELECT doc_id, string_split(txt, chr(10)) AS lines FROM t),
+            ex AS (SELECT unnest(lines) AS line FROM ls),
+            bad AS (SELECT line FROM ex GROUP BY line HAVING count(*) > 3),
+            badlist AS (
+              SELECT coalesce(list(line), CAST([] AS VARCHAR[])) AS bl FROM bad
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(lines, l -> NOT list_contains(bl, l)),
+                     chr(10)) AS text
+            FROM ls, badlist ORDER BY doc_id
+        """,
         "sitemap_extract": r"""
             WITH bodies AS (
               SELECT 'http://' || source || '.example/sitemap.xml'
