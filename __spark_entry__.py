@@ -418,6 +418,32 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-crawl scheduling (recrawl.revisit_schedule): a
+    two-epoch fetch history is synthesized in-query (every third doc
+    changes between rounds 1 and 5 — 80%-truncated text); intervals
+    halve on change, double on stability; due at current_round=12.
+    The engine compares xxhash64 fingerprints; the oracle compares the
+    text strings — identical absent 64-bit collisions."""
+    from pompspark.recrawl import revisit_schedule
+
+    d = _documents(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    r1 = d.select(url.alias("url"), F.lit(1).alias("round"), "text")
+    changed_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.substring(
+            "text", F.lit(1), F.floor(F.lit(0.8) * F.length("text")).cast("int")
+        ),
+    ).otherwise(F.col("text"))
+    r2 = d.select(url.alias("url"), F.lit(5).alias("round"),
+                  changed_text.alias("text"))
+    return revisit_schedule(r1.unionByName(r2), current_round=12).orderBy("url")
+
+
 def q_clean_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line filter (textclean.clean_lines): multi-line docs
     are synthesized in-query (a proper sentence + 'Menu' + a
@@ -749,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components": q_near_dup_components,
         "host_pagerank": q_host_pagerank,
         "streaming_windowed_rollup": q_streaming_windowed_rollup,
+        "revisit_schedule": q_revisit_schedule,
         "clean_lines": q_clean_lines,
         "dedup_lines": q_dedup_lines,
         "sitemap_extract": q_sitemap_extract,
@@ -1236,6 +1263,46 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY c.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(),
+        "revisit_schedule": """
+            WITH hist AS (
+              SELECT 'http://' || source || '.example/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     1 AS round, text FROM documents
+              UNION ALL
+              SELECT 'http://' || source || '.example/doc/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     5 AS round,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       substring(text, 1,
+                                 CAST(floor(0.8 * length(text)) AS INT))
+                     ELSE text END AS text
+              FROM documents
+            ),
+            ranked AS (
+              SELECT url, round, text,
+                     ROW_NUMBER() OVER (PARTITION BY url ORDER BY round DESC)
+                       AS rn
+              FROM hist
+            ),
+            agg AS (
+              SELECT url,
+                     MAX(CASE WHEN rn = 1 THEN round END) AS last_round,
+                     MAX(CASE WHEN rn = 1 THEN text END) AS t1,
+                     MAX(CASE WHEN rn = 2 THEN text END) AS t2,
+                     COUNT(*) AS n
+              FROM ranked WHERE rn <= 2 GROUP BY url
+            )
+            SELECT url, last_round,
+                   CAST(n >= 2 AND t1 <> t2 AS INT) AS changed,
+                   CAST(CASE WHEN n < 2 THEN 8
+                             WHEN t1 <> t2 THEN 4
+                             ELSE 16 END AS INT) AS interval,
+                   CAST((12 - last_round) >=
+                        CASE WHEN n < 2 THEN 8
+                             WHEN t1 <> t2 THEN 4
+                             ELSE 16 END AS INT) AS due
+            FROM agg ORDER BY url
+        """,
         "clean_lines": r"""
             SELECT doc_id,
               array_to_string(list_filter(string_split(t2, chr(10)),
