@@ -488,6 +488,41 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/structure filters (gopherq.gopher_filter,
+    Rae et al. 2021 A1.1): docs with line structure are synthesized
+    in-query — an intro sentence, a doc_id%3-gated duplicated banner
+    pair, a %4-gated bullet line, a %5-gated ellipsis teaser, and a
+    text snippet. All metrics are one map-side JVM projection emitted
+    as floor'd milli-units; the DuckDB twin recomputes them with
+    list_filter/list_transform lambdas."""
+    from pompspark.gopherq import gopher_filter
+
+    d = _documents(spark, sf_dir)
+    txt = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Intro about "), F.col("lang"), F.lit(" follows here.")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Accept cookies\nAccept cookies")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("- bullet item here")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("Read more...")).otherwise(F.lit("")),
+        F.concat(F.substring("text", 1, 60), F.lit(" end of doc "),
+                 F.col("doc_id").cast("string"), F.lit(".")),
+    )
+    out = gopher_filter(
+        d.select("doc_id", txt.alias("text")), min_words=5, max_words=1000
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_words",
+        "dup_line_frac_mills", "dup_line_char_frac_mills",
+        "bullet_line_frac_mills", "ellipsis_line_frac_mills",
+        "top2gram_char_frac_mills",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
     bootstrap path): per-source sitemap bodies are synthesized
@@ -778,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule": q_revisit_schedule,
         "clean_lines": q_clean_lines,
         "dedup_lines": q_dedup_lines,
+        "gopher_quality": q_gopher_quality,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1337,6 +1373,79 @@ def _oracle_sql_literal() -> dict[str, str]:
                      list_filter(lines, l -> NOT list_contains(bl, l)),
                      chr(10)) AS text
             FROM ls, badlist ORDER BY doc_id
+        """,
+        "gopher_quality": r"""
+            WITH t AS (
+              SELECT doc_id,
+                concat_ws(chr(10),
+                  'Intro about ' || lang || ' follows here.',
+                  CASE WHEN doc_id % 3 = 0
+                       THEN 'Accept cookies' || chr(10) || 'Accept cookies'
+                       ELSE '' END,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN '- bullet item here' ELSE '' END,
+                  CASE WHEN doc_id % 5 = 0
+                       THEN 'Read more...' ELSE '' END,
+                  substring(text, 1, 60) || ' end of doc '
+                    || CAST(doc_id AS VARCHAR) || '.'
+                ) AS txt
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                list_filter(string_split(txt, chr(10)),
+                            l -> regexp_matches(l, '\S')) AS lines,
+                list_filter(string_split_regex(lower(txt), '\s+'),
+                            w -> w != '') AS words
+              FROM t
+            ),
+            m AS (
+              SELECT doc_id, len(lines) AS n_lines, len(words) AS n_words,
+                len(list_filter(lines,
+                    l -> len(list_filter(lines, x -> x = l)) > 1))
+                  AS dup_lines,
+                coalesce(list_sum(list_transform(lines,
+                    l -> CASE WHEN len(list_filter(lines, x -> x = l)) > 1
+                              THEN length(l) ELSE 0 END)), 0) AS dup_chars,
+                coalesce(list_sum(list_transform(lines,
+                    l -> length(l))), 0) AS line_chars,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^\s*([•‣▪●⁃\-\*])\s')))
+                  AS bullets,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)\s*$')))
+                  AS ellipses,
+                length(array_to_string(words, ' ')) AS word_chars,
+                list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i + 1]) AS grams
+              FROM parts
+            ),
+            g AS (
+              SELECT m.*,
+                coalesce(list_max(list_transform(grams,
+                    gm -> len(list_filter(grams, x -> x = gm))
+                          * length(gm))), 0) AS top2
+              FROM m
+            ),
+            f AS (
+              SELECT doc_id,
+                CAST(n_lines AS BIGINT) AS n_lines,
+                CAST(n_words AS BIGINT) AS n_words,
+                CASE WHEN n_lines > 0 THEN CAST(floor(1000.0 * dup_lines / n_lines) AS BIGINT) ELSE 0 END AS dup_line_frac_mills,
+                CASE WHEN line_chars > 0 THEN CAST(floor(1000.0 * dup_chars / line_chars) AS BIGINT) ELSE 0 END AS dup_line_char_frac_mills,
+                CASE WHEN n_lines > 0 THEN CAST(floor(1000.0 * bullets / n_lines) AS BIGINT) ELSE 0 END AS bullet_line_frac_mills,
+                CASE WHEN n_lines > 0 THEN CAST(floor(1000.0 * ellipses / n_lines) AS BIGINT) ELSE 0 END AS ellipsis_line_frac_mills,
+                CASE WHEN word_chars > 0 THEN CAST(floor(1000.0 * top2 / word_chars) AS BIGINT) ELSE 0 END AS top2gram_char_frac_mills
+              FROM g
+            )
+            SELECT *,
+              CAST(n_words BETWEEN 5 AND 1000
+                AND dup_line_frac_mills <= 300
+                AND dup_line_char_frac_mills <= 200
+                AND bullet_line_frac_mills <= 900
+                AND ellipsis_line_frac_mills <= 300
+                AND top2gram_char_frac_mills <= 200 AS INT) AS keep
+            FROM f ORDER BY doc_id
         """,
         "sitemap_extract": r"""
             WITH bodies AS (
