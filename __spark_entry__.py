@@ -523,6 +523,34 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier URL rules (urlfilter.url_filter): six url shapes
+    synthesized per doc_id%6 — clean article, .jpg asset, 20-deep
+    path, 9-param query, /cal/cal/cal trap, 2100-char url — annotated
+    with keep + first-failing-rule reason. All regexp/array JVM
+    expressions; DuckDB twin mirrors them (trap detection is an
+    indexed segment compare, deliberately backreference-free so RE2
+    can express it)."""
+    from pompspark.urlfilter import url_filter
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    sid = F.col("doc_id").cast("string")
+    tail = (
+        F.when(m == 0, F.concat(F.lit("/article/"), sid))
+        .when(m == 1, F.concat(F.lit("/img/"), sid, F.lit(".jpg")))
+        .when(m == 2, F.concat(F.lit("/"), F.repeat(F.lit("d/"), 20), sid))
+        .when(m == 3, F.lit("/p?k0=v&k1=v&k2=v&k3=v&k4=v&k5=v&k6=v&k7=v&k8=v"))
+        .when(m == 4, F.concat(F.lit("/cal/cal/cal/"), sid))
+        .otherwise(F.concat(F.lit("/long/"), F.repeat(F.lit("a"), 2100)))
+    )
+    url = F.concat(F.lit("http://"), F.col("source"), F.lit(".example"), tail)
+    out = url_filter(d.select("doc_id", url.alias("url")))
+    return out.select(
+        "doc_id", "reason", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
     bootstrap path): per-source sitemap bodies are synthesized
@@ -814,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_lines": q_clean_lines,
         "dedup_lines": q_dedup_lines,
         "gopher_quality": q_gopher_quality,
+        "url_frontier_filter": q_url_frontier_filter,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1057,7 +1086,64 @@ def oracle_sql() -> dict[str, str]:
     # to the string-shingle path (xxhash64 is injective absent 64-bit
     # collisions), so its oracle IS the string SQL
     sql["ngram_jaccard_hashed"] = sql["ngram_jaccard_pairs"]
+    sql["url_frontier_filter"] = _url_filter_oracle_sql()
     return sql
+
+
+def _url_filter_oracle_sql() -> str:
+    """DuckDB twin of urlfilter.url_filter over the same six in-query
+    url shapes. The extension alternation is interpolated from the
+    SAME constant the engine compiles into its rlike."""
+    from pompspark.urlfilter import BLOCKED_EXTENSIONS
+
+    return r"""
+        WITH u AS (
+          SELECT doc_id,
+            'http://' || source || '.example' ||
+            CASE CAST(doc_id % 6 AS INT)
+              WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR)
+              WHEN 1 THEN '/img/' || CAST(doc_id AS VARCHAR) || '.jpg'
+              WHEN 2 THEN '/' || repeat('d/', 20) || CAST(doc_id AS VARCHAR)
+              WHEN 3 THEN '/p?k0=v&k1=v&k2=v&k3=v&k4=v&k5=v&k6=v&k7=v&k8=v'
+              WHEN 4 THEN '/cal/cal/cal/' || CAST(doc_id AS VARCHAR)
+              ELSE '/long/' || repeat('a', 2100)
+            END AS url
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, url,
+            regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+              AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS query
+          FROM u
+        ),
+        r AS (
+          SELECT doc_id, url, path,
+            greatest(len(string_split(path, '/')) - 1, 0) AS depth,
+            CASE WHEN query = '' THEN 0
+                 ELSE len(string_split(query, '&')) END AS n_params,
+            string_split(path, '/') AS segs
+          FROM m
+        ),
+        f AS (
+          SELECT doc_id,
+            CASE
+              WHEN length(url) > 2048 THEN 'too_long'
+              WHEN regexp_matches(lower(path), '\.(EXTS)$')
+                THEN 'blocked_ext'
+              WHEN depth > 16 THEN 'too_deep'
+              WHEN n_params > 8 THEN 'query_blowup'
+              WHEN list_contains(list_transform(range(1, len(segs) + 1),
+                     i -> segs[i] != '' AND i + 2 <= len(segs)
+                          AND segs[i] = segs[i + 1]
+                          AND segs[i + 1] = segs[i + 2]), true)
+                THEN 'trap_segments'
+              ELSE NULL END AS reason
+          FROM r
+        )
+        SELECT doc_id, reason, CAST(reason IS NULL AS INT) AS keep
+        FROM f ORDER BY doc_id
+    """.replace("EXTS", BLOCKED_EXTENSIONS)
 
 
 # The full MinHash-LSH pipeline as a reusable CTE chain ending at
