@@ -551,6 +551,38 @@ def q_url_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink/source skeleton (warc.warc_header_col): each doc gets
+    a WARC/1.0 response header built JVM-side (concat + date_format +
+    octet_length) for a text payload and a doc_id-derived timestamp,
+    then the fields are regexp-parsed BACK out of the header — build
+    and parse both run in-engine; DuckDB builds the same header with
+    strftime/strlen and parses with the same patterns. The binary
+    record path (payload concat, blob-per-partition, Content-Length
+    parser) is non-SQL-expressible and pinned by tests/test_warc.py
+    round-trips instead."""
+    from pompspark.warc import warc_header_col
+
+    d = _documents(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    ts = F.timestamp_seconds(F.lit(1700000000).cast("long") + F.col("doc_id"))
+    payload = F.substring("text", 1, 50)
+    h = d.select(
+        "doc_id",
+        warc_header_col(url, ts, payload).alias("header"),
+    )
+    return h.select(
+        "doc_id",
+        F.regexp_extract("header", r"WARC-Target-URI: ([^\r]+)", 1).alias("uri"),
+        F.regexp_extract("header", r"WARC-Date: ([^\r]+)", 1).alias("wdate"),
+        F.regexp_extract("header", r"Content-Length: (\d+)", 1)
+        .cast("long").alias("clen"),
+    )
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
     bootstrap path): per-source sitemap bodies are synthesized
@@ -843,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "gopher_quality": q_gopher_quality,
         "url_frontier_filter": q_url_frontier_filter,
+        "warc_headers": q_warc_headers,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1532,6 +1565,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "warc_headers": r"""
+            WITH h AS (
+              SELECT doc_id,
+                'WARC/1.0' || chr(13) || chr(10)
+                || 'WARC-Type: response' || chr(13) || chr(10)
+                || 'WARC-Target-URI: http://' || source || '.example/doc/'
+                  || CAST(doc_id AS VARCHAR) || chr(13) || chr(10)
+                || 'WARC-Date: '
+                  || strftime(epoch_ms((1700000000 + CAST(doc_id AS BIGINT))
+                                       * 1000),
+                              '%Y-%m-%dT%H:%M:%SZ') || chr(13) || chr(10)
+                || 'Content-Length: '
+                  || CAST(strlen(substring(text, 1, 50)) AS VARCHAR)
+                  || chr(13) || chr(10) || chr(13) || chr(10) AS header
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_extract(header, 'WARC-Target-URI: ([^\r]+)', 1) AS uri,
+              regexp_extract(header, 'WARC-Date: ([^\r]+)', 1) AS wdate,
+              CAST(regexp_extract(header, 'Content-Length: (\d+)', 1)
+                   AS BIGINT) AS clen
+            FROM h ORDER BY doc_id
         """,
         "sitemap_extract": r"""
             WITH bodies AS (
