@@ -583,6 +583,30 @@ def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content sniffing (media.sniff_content_type): six
+    payload shapes synthesized in-query per doc_id%6 — html doc, PNG,
+    PDF, zip, RIFF/WAVE, bare text — classified by ONE hex-prefix JVM
+    expression (headers lie; crawlers sniff). DuckDB twin runs the
+    same prefix CASE over hex(payload)."""
+    from pompspark.media import sniff_content_type
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 6
+    body = F.encode(F.col("text"), "UTF-8")
+    payload = (
+        F.when(m == 0, F.concat(F.encode(F.lit("<!DOCTYPE html><p>"), "UTF-8"), body))
+        .when(m == 1, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), body))
+        .when(m == 2, F.concat(F.encode(F.lit("%PDF-1.4 "), "UTF-8"), body))
+        .when(m == 3, F.concat(F.lit(b"PK\x03\x04"), body))
+        .when(m == 4, F.concat(F.encode(F.lit("RIFF0000WAVE"), "UTF-8"), body))
+        .otherwise(body)
+    )
+    return d.select(
+        "doc_id", sniff_content_type(payload).alias("content_type")
+    )
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-XML loc extraction (sitemap.sitemap_locs, the crawl
     bootstrap path): per-source sitemap bodies are synthesized
@@ -876,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "url_frontier_filter": q_url_frontier_filter,
         "warc_headers": q_warc_headers,
+        "mime_sniff": q_mime_sniff,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1565,6 +1590,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "mime_sniff": r"""
+            WITH p AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 6 AS INT)
+                  WHEN 0 THEN encode('<!DOCTYPE html><p>' || text)
+                  WHEN 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+                  WHEN 2 THEN encode('%PDF-1.4 ' || text)
+                  WHEN 3 THEN 'PK\x03\x04'::BLOB || encode(text)
+                  WHEN 4 THEN encode('RIFF0000WAVE' || text)
+                  ELSE encode(text)
+                END AS payload
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, substring(hex(payload), 1, 24) AS hx
+              FROM p
+            )
+            SELECT doc_id,
+              CASE
+                WHEN starts_with(hx, '3C21444F43545950') THEN 'text/html'
+                WHEN starts_with(hx, '3C21646F63747970') THEN 'text/html'
+                WHEN starts_with(hx, '52494646') THEN
+                  CASE substring(hx, 17, 8)
+                    WHEN '57415645' THEN 'audio/wav'
+                    WHEN '41564920' THEN 'video/avi'
+                    ELSE 'application/octet-stream' END
+                WHEN starts_with(hx, '89504E47') THEN 'image/png'
+                WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+                WHEN starts_with(hx, '47494638') THEN 'image/gif'
+                WHEN starts_with(hx, '25504446') THEN 'application/pdf'
+                WHEN starts_with(hx, '504B0304') THEN 'application/zip'
+                WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+                WHEN starts_with(hx, '424D') THEN 'image/bmp'
+                WHEN starts_with(hx, '3C68746D6C') THEN 'text/html'
+                WHEN starts_with(hx, '3C48544D4C') THEN 'text/html'
+                WHEN starts_with(hx, '3C3F786D6C') THEN 'application/xml'
+                ELSE 'application/octet-stream'
+              END AS content_type
+            FROM h ORDER BY doc_id
         """,
         "warc_headers": r"""
             WITH h AS (

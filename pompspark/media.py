@@ -330,3 +330,66 @@ def sample_frames(
             yield out
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+# magic-byte table: (hex prefix, mime). Longest prefixes first so the
+# WHEN chain matches the most specific signature. All comparisons run
+# on hex(substring(payload, 1, 12)) — one tiny JVM expression, so
+# sniffing 10^10 payloads is a map-side projection, never Python.
+MAGIC_MIMES: list[tuple[str, str]] = [
+    ("3C21444F43545950", "text/html"),        # <!DOCTYP
+    ("3C21646F63747970", "text/html"),        # <!doctyp
+    ("52494646", "audio/wav"),                # RIFF (WAVE checked below)
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),                # GIF8
+    ("25504446", "application/pdf"),          # %PDF
+    ("504B0304", "application/zip"),          # PK\x03\x04
+    ("1F8B", "application/gzip"),
+    ("424D", "image/bmp"),                    # BM
+    ("3C68746D6C", "text/html"),              # <html
+    ("3C48544D4C", "text/html"),              # <HTML
+    ("3C3F786D6C", "application/xml"),        # <?xml
+]
+
+
+def sniff_content_type(payload_col, default: str = "application/octet-stream"):
+    """Content-type from magic bytes as a JVM Column expression.
+
+    A crawler cannot trust Content-Type headers (they lie constantly);
+    fetched payloads are sniffed before the extract stage so binary
+    assets skip html parsing. RIFF containers disambiguate WAVE vs AVI
+    by bytes 9-12. Leading whitespace/BOM before '<html' is NOT
+    handled (canonical sniffing per the WHATWG algorithm scans further;
+    this is the prefix subset both engines express as one hex compare).
+    """
+    from pyspark.sql import functions as F
+
+    hx = F.hex(F.substring(payload_col, 1, 12))
+    riff_kind = F.substring(hx, 17, 8)  # bytes 9-12 of the payload
+    expr = F.lit(default)
+    for prefix, mime in reversed(MAGIC_MIMES):
+        if prefix == "52494646":
+            mime_col = F.when(
+                riff_kind == "57415645", F.lit("audio/wav")   # WAVE
+            ).when(
+                riff_kind == "41564920", F.lit("video/avi")   # 'AVI '
+            ).otherwise(F.lit("application/octet-stream"))
+            expr = F.when(hx.startswith(prefix), mime_col).otherwise(expr)
+        else:
+            expr = F.when(hx.startswith(prefix), F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def html_only_middleware(payload_col: str = "html"):
+    """Response middleware: keep only rows whose payload sniffs as
+    text/html — the standard pre-extract gate (pomp process_response
+    -> None for non-parseable responses)."""
+    from pyspark.sql import functions as F
+
+    def mw(df: DataFrame) -> DataFrame:
+        return df.filter(
+            sniff_content_type(F.col(payload_col)) == "text/html"
+        )
+
+    return mw

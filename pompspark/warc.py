@@ -37,6 +37,7 @@ addition shaped by the public WARC spec.
 from __future__ import annotations
 
 import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -103,11 +104,37 @@ def warc_record(
     return df.withColumn(out_col, rec)
 
 
+def gzip_member(data: bytes) -> bytes:
+    """One complete gzip member (Common Crawl compresses each WARC
+    record as its OWN member so readers can seek to any record).
+    mtime pinned to 0 so output is byte-deterministic across runs."""
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    # wbits=16+MAX_WBITS emits a gzip header with mtime=0 (zlib never
+    # stamps the clock), unlike the gzip module which does
+    return co.compress(data) + co.flush()
+
+
+def split_gzip_members(blob: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members one member at a
+    time (zlib.decompressobj + unused_data — the standard multi-member
+    walk). Yields each member's decompressed bytes."""
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = d.decompress(blob[pos:])
+        yield out
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:  # corrupt tail — stop rather than spin
+            break
+        pos += consumed
+
+
 def write_warc_partitions(
     df: DataFrame,
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
+    compress: bool = False,
 ) -> DataFrame:
     """One WARC blob per partition: (part_id, n_records, warc binary).
 
@@ -115,7 +142,10 @@ def write_warc_partitions(
     blob-per-partition DataFrame the caller sinks wherever binary
     blobs live (parquet here; `part-N.warc` objects on a cluster).
     Records are ordered by url within a blob so re-runs are
-    byte-identical."""
+    byte-identical. ``compress=True`` gzips each record as its own
+    member (the `.warc.gz` convention — readers can seek to any
+    record) with mtime pinned, so compressed blobs are deterministic
+    too."""
     recs = warc_record(df, url_col, ts_col, payload_col).select(
         F.col(url_col).alias("url"), "warc"
     )
@@ -128,7 +158,10 @@ def write_warc_partitions(
         if not parts:
             return
         pdf = pd.concat(parts).sort_values("url")
-        blob = b"".join(bytes(x) for x in pdf["warc"])
+        if compress:
+            blob = b"".join(gzip_member(bytes(x)) for x in pdf["warc"])
+        else:
+            blob = b"".join(bytes(x) for x in pdf["warc"])
         yield pd.DataFrame(
             {"part_id": [pid], "n_records": [len(pdf)], "warc": [blob]}
         )
@@ -166,19 +199,23 @@ def parse_warc_blob(blob: bytes) -> list[tuple[str, str, bytes]]:
 
 
 def parse_warc(
-    blobs: DataFrame, blob_col: str = "warc"
+    blobs: DataFrame, blob_col: str = "warc", compressed: bool = False
 ) -> DataFrame:
     """WARC blobs -> pages-shaped rows (url, warc_ts, html).
 
     mapInPandas: each incoming blob row parses independently
     executor-side; a directory of WARC files becomes the pages table
-    in one distributed pass."""
+    in one distributed pass. ``compressed=True`` walks gzip members
+    first (`.warc.gz` blobs)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for blob in b[blob_col]:
-                for uri, date, payload in parse_warc_blob(bytes(blob)):
+                raw = bytes(blob)
+                if compressed:
+                    raw = b"".join(split_gzip_members(raw))
+                for uri, date, payload in parse_warc_blob(raw):
                     rows.append((uri, date, payload))
             if rows:
                 pdf = pd.DataFrame(
