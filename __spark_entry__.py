@@ -583,6 +583,33 @@ def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_focus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl keyword scoring (focus.topic_score_col + the
+    anchor_topic_scores aggregation shape): anchor strings synthesized
+    in-query, scored by the JVM length-replace occurrence counter,
+    max-aggregated per target href (max, not sum — link farms must not
+    inflate a target). DuckDB twin runs the same replace arithmetic.
+    The html anchor extractor itself is Python-regex (off the hot
+    path) and pinned by tests/test_focus.py instead."""
+    from pompspark.focus import topic_score_col
+
+    d = _documents(spark, sf_dir)
+    anchor = F.concat_ws(
+        " ", F.lit("read about"), F.substring("text", 1, 40), F.col("lang")
+    )
+    href = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example/"), F.col("lang")
+    )
+    s = topic_score_col(
+        F.concat_ws(" ", anchor, href), ["the", "data", "spark", "en"]
+    )
+    return (
+        d.select(href.alias("href"), s.alias("s"))
+        .groupBy("href")
+        .agg(F.max("s").alias("score"))
+    )
+
+
 def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content sniffing (media.sniff_content_type): six
     payload shapes synthesized in-query per doc_id%6 — html doc, PNG,
@@ -901,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_frontier_filter": q_url_frontier_filter,
         "warc_headers": q_warc_headers,
         "mime_sniff": q_mime_sniff,
+        "focus_scores": q_focus_scores,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1590,6 +1618,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "focus_scores": r"""
+            WITH a AS (
+              SELECT
+                'http://' || source || '.example/' || lang AS href,
+                lower(concat_ws(' ',
+                  concat_ws(' ', 'read about', substring(text, 1, 40), lang),
+                  'http://' || source || '.example/' || lang)) AS s
+              FROM documents
+            ),
+            sc AS (
+              SELECT href,
+                CAST((length(s) - length(replace(s, 'the', ''))) // 3
+                 + (length(s) - length(replace(s, 'data', ''))) // 4
+                 + (length(s) - length(replace(s, 'spark', ''))) // 5
+                 + (length(s) - length(replace(s, 'en', ''))) // 2
+                 AS INT) AS s
+              FROM a
+            )
+            SELECT href, max(s) AS score FROM sc
+            GROUP BY href ORDER BY href
         """,
         "mime_sniff": r"""
             WITH p AS (
