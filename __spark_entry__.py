@@ -583,6 +583,29 @@ def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal (textclean.dedup_spans — the
+    distributed shape of Lee et al. 2022 exact-substring dedup): even
+    doc_ids get a 6-token footer injected in-query, every 5-token
+    window occurring twice+ corpus-wide is removed from all docs,
+    unique flanks survive. Engine keys windows by xxhash64; the
+    DuckDB twin keys by the gram string — identical absent 64-bit
+    collisions (the dedup_lines precedent)."""
+    from pompspark.textclean import dedup_spans
+
+    d = _documents(spark, sf_dir)
+    txt = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" all rights reserved contact us today"),
+        ),
+    ).otherwise(F.substring("text", 1, 60))
+    return dedup_spans(
+        d.select("doc_id", txt.alias("text")), n=5, min_count=2
+    ).orderBy("doc_id")
+
+
 def q_focus_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Focused-crawl keyword scoring (focus.topic_score_col + the
     anchor_topic_scores aggregation shape): anchor strings synthesized
@@ -929,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_headers": q_warc_headers,
         "mime_sniff": q_mime_sniff,
         "focus_scores": q_focus_scores,
+        "span_dedup": q_span_dedup,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1618,6 +1642,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "span_dedup": r"""
+            WITH src AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0
+                  THEN substring(text, 1, 60)
+                       || ' all rights reserved contact us today'
+                  ELSE substring(text, 1, 60) END AS txt
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(txt, '\s+'),
+                            w -> w != '') AS toks
+              FROM src
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+4], ' ') AS gram
+              FROM t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+            ),
+            dup AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+            ),
+            dp AS (
+              SELECT doc_id, list(pos) AS dps
+              FROM g JOIN dup USING (gram) GROUP BY doc_id
+            ),
+            j AS (
+              SELECT t.doc_id, toks,
+                     coalesce(dps, CAST([] AS BIGINT[])) AS dps
+              FROM t LEFT JOIN dp ON t.doc_id = dp.doc_id
+            )
+            SELECT doc_id,
+              coalesce(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(toks) + 1),
+                    i -> len(list_filter(dps,
+                           p -> i - 1 >= p AND i - 1 <= p + 4)) = 0),
+                  i -> toks[i]),
+                ' '), '') AS text
+            FROM j ORDER BY doc_id
         """,
         "focus_scores": r"""
             WITH a AS (

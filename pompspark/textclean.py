@@ -58,6 +58,90 @@ def clean_lines(
     return df.withColumn(text_col, cleaned)
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-SPAN removal (the distributed shape of
+    Lee et al. 2022's exact-substring dedup): any run of ``n`` tokens
+    occurring ``min_count``+ times across the corpus is removed from
+    every document (all occurrences go — removal is a pure function of
+    corpus content, so re-runs and re-partitions agree; keep-one would
+    need an owner election). A token is dropped iff ANY n-gram window
+    covering it is duplicated, so maximal duplicated runs vanish while
+    their unique flanks survive.
+
+    Plan: per-doc token n-grams explode to (xxhash64(gram), doc, pos)
+    — the count shuffle carries 8-byte keys with map-side combine
+    (never gram text, cf. dedup_lines); dup keys join back (AQE
+    broadcasts the usually-tiny dup side); per-doc dup positions
+    collect to ONE array row and token coverage is a map-side
+    array-exists pass. Shuffle volume ~ tokens * 16 bytes, the same
+    order as the MinHash signature stage.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+        ).alias("toks"),
+    )
+    grams = toks.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.slice(
+                    "toks", 1,
+                    F.greatest(F.size("toks") - (n - 1), F.lit(0)),
+                ),
+                lambda _, i: F.xxhash64(
+                    F.array_join(F.slice("toks", i + 1, n), " ")
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = (
+        grams.join(dup, "gh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("dps"))
+    )
+    joined = toks.join(dup_pos, id_col, "left").withColumn(
+        "dps", F.coalesce("dps", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            "toks",
+            lambda w, i: F.struct(
+                w.alias("w"),
+                F.exists(
+                    "dps", lambda p: (i >= p) & (i <= p + (n - 1))
+                ).alias("cov"),
+            ),
+        ),
+        lambda s: ~s["cov"],
+    )
+    rebuilt = joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "__clean"
+        ),
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .drop("__clean")
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",
