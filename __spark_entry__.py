@@ -583,6 +583,38 @@ def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (metarobots.meta_robots_flags):
+    five html shapes synthesized in-query per doc_id%5 (noindex /
+    nofollow / none / index,follow / no tag), flags extracted by the
+    lenient-cast + regexp JVM path over BINARY payloads; DuckDB twin
+    runs the same patterns on the string. Garbage-byte tolerance is
+    pinned by tests/test_metarobots.py (binary is synthesized from
+    text here so both engines see identical bytes)."""
+    from pompspark.metarobots import meta_robots_flags
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    tag = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(m == 1, F.lit("<meta name='robots' content='nofollow'>"))
+        .when(m == 2, F.lit("<meta name=ROBOTS content=none>"))
+        .when(m == 3, F.lit('<meta name=robots content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.encode(
+        F.concat(F.lit("<html><head>"), tag, F.lit("</head><body>"),
+                 F.substring("text", 1, 40), F.lit("</body></html>")),
+        "UTF-8",
+    )
+    out = meta_robots_flags(d.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id",
+        F.col("noindex").cast("int").alias("noindex"),
+        F.col("nofollow").cast("int").alias("nofollow"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span removal (textclean.dedup_spans — the
     distributed shape of Lee et al. 2022 exact-substring dedup): even
@@ -953,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "focus_scores": q_focus_scores,
         "span_dedup": q_span_dedup,
+        "meta_robots": q_meta_robots,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1642,6 +1675,44 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "meta_robots": r"""
+            WITH h AS (
+              SELECT doc_id,
+                lower('<html><head>' ||
+                  CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN '<meta name="robots" content="noindex">'
+                    WHEN 1 THEN '<meta name=''robots'' content=''nofollow''>'
+                    WHEN 2 THEN '<meta name=ROBOTS content=none>'
+                    WHEN 3 THEN '<meta name=robots content="index, follow">'
+                    ELSE ''
+                  END
+                  || '</head><body>' || substring(text, 1, 40)
+                  || '</body></html>') AS s
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                CASE WHEN regexp_extract(s,
+                  '<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["'']?([a-z,\- ]*)',
+                  1) != ''
+                THEN regexp_extract(s,
+                  '<meta[^>]*name\s*=\s*["'']?robots["'']?[^>]*content\s*=\s*["'']?([a-z,\- ]*)',
+                  1)
+                ELSE regexp_extract(s,
+                  '<meta[^>]*content\s*=\s*["'']?([a-z,\- ]*)["'']?[^>]*name\s*=\s*["'']?robots["'']?',
+                  1)
+                END AS content
+              FROM h
+            )
+            SELECT doc_id,
+              CAST(regexp_matches(content, '(^|[, ])noindex([, ]|$)')
+                OR regexp_matches(content, '(^|[, ])none([, ]|$)') AS INT)
+                AS noindex,
+              CAST(regexp_matches(content, '(^|[, ])nofollow([, ]|$)')
+                OR regexp_matches(content, '(^|[, ])none([, ]|$)') AS INT)
+                AS nofollow
+            FROM c ORDER BY doc_id
         """,
         "span_dedup": r"""
             WITH src AS (
