@@ -583,6 +583,46 @@ def q_warc_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pii.scrub_pii): an email / IPv4 / phone number /
+    nothing is appended per doc_id%4 in-query, then the ordered
+    RE2-compatible regexp_replace chain scrubs and counts. DuckDB twin
+    uses the same patterns with the 'g' flag (DuckDB replaces first
+    match by default; Spark replaces all)."""
+    from pompspark.pii import scrub_pii
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit(" contact bob@mail.example now"))
+        .when(m == 1, F.lit(" host 10.1.2.3 up"))
+        .when(m == 2, F.lit(" call +1 (555) 123-4567 ok"))
+        .otherwise(F.lit(""))
+    )
+    txt = F.concat(F.substring("text", 1, 50), suffix)
+    return scrub_pii(d.select("doc_id", txt.alias("text"))).select(
+        "doc_id", "text", "n_emails", "n_ips", "n_phones"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textclean.decontaminate): docs whose
+    80-char prefix shares any 8-token window with the 'benchmark' set
+    (every doc_id%10==0 prefix) are flagged — each benchmark source
+    doc flags itself, plus any shared-prefix collisions. Engine keys
+    windows by xxhash64 with the benchmark side broadcast; DuckDB twin
+    joins on the gram string."""
+    from pompspark.textclean import decontaminate
+
+    d = _documents(spark, sf_dir)
+    docs = d.select("doc_id", F.substring("text", 1, 80).alias("text"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select("text")
+    out = decontaminate(docs, bench, n=8)
+    return out.select(
+        "doc_id", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives (metarobots.meta_robots_flags):
     five html shapes synthesized in-query per doc_id%5 (noindex /
@@ -986,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focus_scores": q_focus_scores,
         "span_dedup": q_span_dedup,
         "meta_robots": q_meta_robots,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
         "sitemap_extract": q_sitemap_extract,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
@@ -1675,6 +1717,79 @@ def _oracle_sql_literal() -> dict[str, str]:
                 AND ellipsis_line_frac_mills <= 300
                 AND top2gram_char_frac_mills <= 200 AS INT) AS keep
             FROM f ORDER BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id,
+                substring(text, 1, 50) ||
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ' contact bob@mail.example now'
+                  WHEN 1 THEN ' host 10.1.2.3 up'
+                  WHEN 2 THEN ' call +1 (555) 123-4567 ok'
+                  ELSE ''
+                END AS txt
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id, txt,
+                CAST(len(regexp_extract_all(txt,
+                  '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}'))
+                  AS BIGINT) AS n_emails,
+                regexp_replace(txt,
+                  '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM t
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                CAST(len(regexp_extract_all(
+                  regexp_replace(txt,
+                    '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}',
+                    '<X>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                  AS n_ips,
+                regexp_replace(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<IP>', 'g') AS t2,
+                regexp_replace(
+                  regexp_replace(txt,
+                    '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}',
+                    '<X>', 'g'),
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                  '<X>', 'g') AS cstage
+              FROM s1
+            )
+            SELECT doc_id,
+              regexp_replace(t2, '\+?\d[\d\-() ]{7,}\d', '<PHONE>', 'g')
+                AS text,
+              n_emails, n_ips,
+              CAST(len(regexp_extract_all(cstage,
+                '\+?\d[\d\-() ]{7,}\d')) AS BIGINT) AS n_phones
+            FROM s2 ORDER BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH d AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(substring(text, 1, 80),
+                            '\s+'), w -> w != '') AS toks
+              FROM documents
+            ),
+            bg AS (
+              SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram
+              FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i)
+              WHERE doc_id % 10 = 0
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i)
+            ),
+            cont AS (
+              SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram)
+            )
+            SELECT d.doc_id,
+              CAST(cont.doc_id IS NOT NULL AS INT) AS contaminated
+            FROM d LEFT JOIN cont ON d.doc_id = cont.doc_id
+            ORDER BY d.doc_id
         """,
         "meta_robots": r"""
             WITH h AS (

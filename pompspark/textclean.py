@@ -142,6 +142,67 @@ def dedup_spans(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: mark (or drop) training docs sharing
+    any ``n``-token window with a benchmark/test-set text — the
+    standard n-gram overlap rule public LM corpora apply (e.g. the
+    GPT-2/GPT-3 papers decontaminate by 8-gram collision).
+
+    Plan: benchmark windows hash to a DISTINCT xxhash64 set — test
+    sets are tiny next to the corpus, so it broadcasts; each doc's
+    windows stream through that broadcast semi-join map-side, and only
+    the contaminated doc ids (one row each) reach the final join.
+    Corpus text never shuffles.
+
+    mode='flag' appends boolean `contaminated`; mode='drop' removes
+    the offenders.
+    """
+
+    def grams(df: DataFrame, ident, txt: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.col(txt), r"\s+"), lambda w: w != F.lit("")
+        )
+        return df.select(
+            *ident,
+            F.explode(
+                F.transform(
+                    F.slice(
+                        toks, 1,
+                        F.greatest(F.size(toks) - (n - 1), F.lit(0)),
+                    ),
+                    lambda _, i: F.xxhash64(
+                        F.array_join(F.slice(toks, i + 1, n), " ")
+                    ),
+                )
+            ).alias("gh"),
+        )
+
+    bench = F.broadcast(
+        grams(benchmarks, [], bench_text_col).distinct()
+    )
+    contaminated = (
+        grams(docs, [F.col(id_col)], text_col)
+        .join(bench, "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__cont", F.lit(True))
+    )
+    out = docs.join(contaminated, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("__cont"), F.lit(False))
+    ).drop("__cont")
+    if mode == "drop":
+        return out.filter(~F.col("contaminated")).drop("contaminated")
+    return out
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",
