@@ -173,6 +173,85 @@ def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3xx Location resolution — the redirect discovery flow
+    (engine.run_round redir_src -> canon.resolve_discoveries). Four
+    Location forms are synthesized per url (seq % 4): absolute,
+    path-absolute + unsorted query, relative + fragment, and
+    protocol-relative; the oracle states each resolved target by
+    construction. Exercises the SAME fast-path/UDF split the engine
+    uses for anchor hrefs."""
+    from pompspark.canon import resolve_discoveries
+
+    f = _frontier(spark, sf_dir)
+    k = F.col("seq") % N_HOSTS
+    s = F.col("seq").cast("string")
+    href = (
+        F.when(
+            F.col("seq") % 4 == 0,
+            F.concat(F.lit("http://h"), ((k + 1) % N_HOSTS).cast("string"),
+                     F.lit(".example/abs"), s),
+        )
+        .when(F.col("seq") % 4 == 1,
+              F.concat(F.lit("/moved"), s, F.lit("?b=2&a=1")))
+        .when(F.col("seq") % 4 == 2,
+              F.concat(F.lit("m"), s, F.lit("/x#frag")))
+        .otherwise(
+            F.concat(F.lit("//h"), ((k + 3) % N_HOSTS).cast("string"),
+                     F.lit(".example/pp"), s)
+        )
+    )
+    src = f.select("url", "seq", href.alias("href"))
+    return resolve_discoveries(src).select(
+        "seq",
+        F.col("href").alias("location"),
+        F.col("child").alias("target"),
+        F.col("child_host").alias("target_host"),
+    ).orderBy("seq")
+
+
+def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional re-crawl (If-Modified-Since -> 304): drives the REAL
+    SimulatedFetcher with a validators table. Pages = one per document
+    (warc_ts = epoch + doc_id seconds); validators cover every 2nd url
+    with a cutoff that makes every 4th url "modified since". Expect:
+    no validator -> 200; validator, ts <= validator -> 304 (no text,
+    0 bytes); validator, newer page -> 200. DuckDB twin recomputes the
+    CASE from the same arithmetic."""
+    from pompspark.fetch import SimulatedFetcher
+
+    d = _documents(spark, sf_dir)
+    epoch = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    pages = d.select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % N_HOSTS).cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_add("SECOND", F.col("doc_id").cast("long"), epoch).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    # every 2nd url has a validator; cutoff ts = doc_id+1 s for
+    # doc_id % 4 == 0 (not modified since) and doc_id-1 s for
+    # doc_id % 4 == 2 (modified since -> refetch)
+    validators = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("http://h"), (F.col("doc_id") % N_HOSTS).cast("string"),
+                 F.lit(".example/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_add(
+            "SECOND",
+            (F.col("doc_id") + F.when(F.col("doc_id") % 4 == 0, 1)
+             .otherwise(-1)).cast("long"),
+            epoch,
+        ).alias("if_modified_since"),
+    )
+    batch = pages.select("url")
+    out = SimulatedFetcher(pages, validators=validators).fetch(batch)
+    return out.select(
+        "url", "status", "n_bytes",
+        F.col("text").isNotNull().cast("int").alias("has_text"),
+    ).orderBy("url")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup over the webtext payload: md5-keyed groups,
     representative = min doc_id (training-data pipeline op)."""
@@ -1007,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "politeness_budget": q_politeness_budget,
         "canonicalize": q_canonicalize,
+        "redirect_resolve": q_redirect_resolve,
+        "conditional_fetch": q_conditional_fetch,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
@@ -1507,6 +1588,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT url AS expected_base,
                    url || '?a=1&b=2' AS canonical
             FROM f
+        """,
+        "conditional_fetch": f"""
+            SELECT 'http://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                   || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 4 = 0 THEN 304 ELSE 200 END AS status,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 0
+                        ELSE 26 + strlen(text) END AS BIGINT) AS n_bytes,
+                   CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS has_text
+            FROM documents
+            ORDER BY url
+        """,
+        "redirect_resolve": f"""
+            WITH f AS ({_FRONTIER_SQL})
+            SELECT seq,
+                   CASE seq % 4
+                     WHEN 0 THEN 'http://h' || CAST((seq + 1) % {N_HOSTS} AS VARCHAR)
+                                 || '.example/abs' || CAST(seq AS VARCHAR)
+                     WHEN 1 THEN '/moved' || CAST(seq AS VARCHAR) || '?b=2&a=1'
+                     WHEN 2 THEN 'm' || CAST(seq AS VARCHAR) || '/x#frag'
+                     ELSE '//h' || CAST((seq % {N_HOSTS} + 3) % {N_HOSTS} AS VARCHAR)
+                          || '.example/pp' || CAST(seq AS VARCHAR)
+                   END AS location,
+                   CASE seq % 4
+                     WHEN 0 THEN 'http://h' || CAST((seq + 1) % {N_HOSTS} AS VARCHAR)
+                                 || '.example/abs' || CAST(seq AS VARCHAR)
+                     WHEN 1 THEN 'http://' || host || '/moved'
+                                 || CAST(seq AS VARCHAR) || '?a=1&b=2'
+                     WHEN 2 THEN 'http://' || host || '/m'
+                                 || CAST(seq AS VARCHAR) || '/x'
+                     ELSE 'http://h' || CAST((seq % {N_HOSTS} + 3) % {N_HOSTS} AS VARCHAR)
+                          || '.example/pp' || CAST(seq AS VARCHAR)
+                   END AS target,
+                   CASE seq % 4
+                     WHEN 0 THEN 'h' || CAST((seq + 1) % {N_HOSTS} AS VARCHAR)
+                                 || '.example'
+                     WHEN 1 THEN host
+                     WHEN 2 THEN host
+                     ELSE 'h' || CAST((seq % {N_HOSTS} + 3) % {N_HOSTS} AS VARCHAR)
+                          || '.example'
+                   END AS target_host
+            FROM f
+            ORDER BY seq
         """,
         "dedup_exact": """
             SELECT MD5(text) AS text_md5,

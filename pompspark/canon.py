@@ -207,6 +207,52 @@ def register_udfs():
     return canonicalize_udf, canonicalize_with_base_udf, host_udf
 
 
+def resolve_discoveries(src, href_col: str = "href", base_col: str = "url"):
+    """Resolve ``href_col`` against ``base_col`` -> (child, child_host)
+    columns appended; rows whose href does not canonicalize (mailto:,
+    javascript:, garbage) are dropped. One shared implementation for
+    the two discovery flows (anchor links O9 and 3xx Location headers)
+    so their semantics can never drift.
+
+    Plan shape: hrefs matching CANONICAL_PATTERN are provably
+    canonicalize() fixed points — the rlike gate + regexp_extract run
+    in whole-stage codegen and the pandas UDF receives NULL for them
+    (canonicalize_series skips nulls), so Arrow ships only the slow
+    minority. On real crawl batches the fast fraction dominates after
+    the first normalization pass.
+    """
+    from pyspark.sql import functions as F
+
+    _, canon_base_udf, host_udf = register_udfs()
+    is_fast = F.col(href_col).rlike(CANONICAL_PATTERN)
+    slow_href = F.when(is_fast, F.lit(None).cast("string")).otherwise(
+        F.col(href_col)
+    )
+    child = F.coalesce(
+        F.when(is_fast, F.col(href_col)),
+        canon_base_udf(slow_href, F.col(base_col)),
+    )
+    return (
+        src.withColumn("__fast", is_fast)
+        .withColumn("child", child)
+        .filter(F.col("child").isNotNull())
+        .withColumn(
+            "child_host",
+            F.when(
+                F.col("__fast"),
+                F.regexp_extract("child", r"^https?://([^/]+)", 1),
+            ).otherwise(
+                host_udf(
+                    F.when(F.col("__fast"), F.lit(None).cast("string"))
+                    .otherwise(F.col("child"))
+                )
+            ),
+        )
+        .filter(F.col("child_host").isNotNull())
+        .drop("__fast")
+    )
+
+
 def url_hash_col(col):
     """murmur3_32 of the canonical url, widened with xxhash64 so the
     10^10-frontier seen-set has a 64-bit identity (32-bit murmur alone

@@ -504,6 +504,11 @@ class CrawlEngine:
         fetched = self.fetcher.fetch(fetch_in)
         for mw in reversed(self.response_middlewares):  # pomp reverse order
             fetched = mw(fetched)
+        if "location" not in fetched.columns:
+            # custom fetchers predating redirect support
+            fetched = fetched.withColumn(
+                "location", F.lit(None).cast("string")
+            )
 
         # ONE materialization per round: the fetch/extract output is
         # written exactly once — as the fetch_log data files, with the
@@ -519,6 +524,7 @@ class CrawlEngine:
             # state are precomputed so the trace and frontier_state
             # tables can ALIAS these files zero-copy (append_dir):
             "url_hash", "host", "depth", "fetch_rank", "links", "n_bytes",
+            "location",
             # same field widths as frontier seq packing (frontier.S_*):
             # rank < 2^24 is enforced by dequeue's budget guard.
             (
@@ -529,7 +535,20 @@ class CrawlEngine:
             # 'retry' — queued() re-admits them after the cool-down
             # with the ORIGINAL (priority, depth, seq); anything else
             # non-200 (404, exhausted retries) is terminal 'error'.
-            F.when(F.col("status") == 200, F.lit("fetched"))
+            # 304 Not Modified (conditional re-crawl) is a completed
+            # visit: terminal like 200, but text stays null and the
+            # discovery flow (status==200) never sees it.
+            F.when(F.col("status").isin(200, 304), F.lit("fetched"))
+            # 3xx with a Location header is TERMINAL for this url —
+            # the target is enqueued below as a discovery (depth+1,
+            # so max-depth/trap rules bound redirect chains and the
+            # frontier dedup kills redirect cycles). 3xx without a
+            # Location falls through to 'error'.
+            .when(
+                F.col("status").between(300, 399)
+                & F.col("location").isNotNull(),
+                F.lit("redirect"),
+            )
             .when(
                 (F.col("status") >= 500)
                 & (F.col("attempt") + 1 <= F.lit(self.max_retries)),
@@ -641,45 +660,37 @@ class CrawlEngine:
         metrics_thread = threading.Thread(target=_collect_metrics)
         metrics_thread.start()
 
-        # discoveries -> canonicalize -> dedup -> anti-join -> merge (O9/O2)
-        # JVM fast path: hrefs matching CANONICAL_PATTERN are provably
-        # canonicalize() fixed points (canon.py) — they never enter the
-        # pandas UDF (the rlike + regexp_extract run in codegen; the
-        # UDF sees NULL for them, and canonicalize_series skips nulls),
-        # so Arrow ships only the slow minority. On real crawl link
-        # batches the fast fraction dominates after the first
-        # normalization pass.
-        from pompspark.canon import CANONICAL_PATTERN
+        # discoveries -> canonicalize -> dedup -> anti-join -> merge
+        # (O9/O2). Two discovery flows share ONE resolution pipeline
+        # (canon.resolve_discoveries: JVM rlike fast path, pandas UDF
+        # for the slow minority):
+        # - anchor links of 200 responses, in (fetch_rank, pos) order;
+        # - 3xx Location headers, resolved against the REQUEST url
+        #   exactly like a relative href (pos=-1: a redirect page has
+        #   no links, so the slot before pos 0 keeps per-parent order
+        #   well-defined). depth+1 per hop — redirect chains consume
+        #   depth like link chains, so trap/depth rules bound them and
+        #   the frontier anti-join (O2) terminates redirect cycles.
+        from pompspark.canon import resolve_discoveries
 
-        _, canon_base_udf, host_udf = register_udfs()
-        is_fast = F.col("href").rlike(CANONICAL_PATTERN)
-        slow_href = F.when(is_fast, F.lit(None).cast("string")).otherwise(
-            F.col("href")
+        link_src = round_df.filter(F.col("status") == 200).select(
+            "url", "depth", "fetch_rank",
+            F.posexplode("links").alias("pos", "href"),
         )
-        child = F.coalesce(
-            F.when(is_fast, F.col("href")), canon_base_udf(slow_href, F.col("url"))
+        redir_src = round_df.filter(
+            F.col("status").between(300, 399)
+            & F.col("location").isNotNull()
+        ).select(
+            "url", "depth", "fetch_rank",
+            F.lit(-1).alias("pos"), F.col("location").alias("href"),
         )
-        disc = (
-            round_df.filter(F.col("status") == 200)
-            .select("url", "depth", "fetch_rank", F.posexplode("links").alias("pos", "href"))
-            .withColumn("__fast", is_fast)
-            .withColumn("child", child)
-            .filter(F.col("child").isNotNull())
-            .select(
-                F.col("child").alias("url"),
-                F.when(
-                    F.col("__fast"),
-                    F.regexp_extract("child", r"^https?://([^/]+)", 1),
-                ).otherwise(
-                    host_udf(
-                        F.when(F.col("__fast"), F.lit(None).cast("string"))
-                        .otherwise(F.col("child"))
-                    )
-                ).alias("host"),
-                (F.col("depth") + 1).alias("depth"),
-                "fetch_rank", "pos",
-            )
-            .filter(F.col("host").isNotNull())
+        disc = resolve_discoveries(
+            link_src.unionByName(redir_src)
+        ).select(
+            F.col("child").alias("url"),
+            F.col("child_host").alias("host"),
+            (F.col("depth") + 1).alias("depth"),
+            "fetch_rank", "pos",
         )
         new_rows = new_frontier_rows(
             disc, self.store.identity_rows(), self.robots_df, r,

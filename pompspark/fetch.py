@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from pompspark.extract import register_extract_udf
 
 # batch columns in, response columns appended
-RESPONSE_COLS = ["status", "warc_ts", "html", "text", "links", "error"]
+RESPONSE_COLS = ["status", "warc_ts", "html", "text", "links", "error",
+                 "location"]
 
 
 class SimulatedFetcher:
@@ -44,8 +45,17 @@ class SimulatedFetcher:
 
     paced = False  # no wall-clock in the simulated web
 
-    def __init__(self, pages: DataFrame):
+    def __init__(self, pages: DataFrame, validators: DataFrame | None = None):
+        """``validators``: optional (url, if_modified_since:timestamp)
+        rows — the conditional-GET state of a re-crawl epoch
+        (recrawl.conditional_validators builds it from the prior
+        epoch's fetch_log). A url whose page ``warc_ts`` <= its
+        validator answers **304 Not Modified**: no body, no extract,
+        zero transfer bytes — exactly If-Modified-Since semantics.
+        Redirects (the server answers 301 regardless) and the flaky
+        marker (a 5xx is an error, not an answer) take precedence."""
         self.pages = pages
+        self.validators = validators
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         # A single outer join can't broadcast the preserved (batch)
@@ -65,13 +75,35 @@ class SimulatedFetcher:
         # fetch attempts 503; the batch's ``attempt`` column (prior
         # failures, from FrontierStore.queued) decides the outcome.
         flaky = "flaky_fails" in self.pages.columns
-        page_cols = ["warc_ts", "html"] + (["flaky_fails"] if flaky else [])
+        redir = "redirect_to" in self.pages.columns
+        page_cols = (
+            ["warc_ts", "html"]
+            + (["flaky_fails"] if flaky else [])
+            + (["redirect_to"] if redir else [])
+        )
         pages = self.pages.select(
             F.col("url").alias("__p_url"), *page_cols
         )
         hits_raw = pages.join(
             F.broadcast(batch), F.col("__p_url") == batch["url"], "inner"
         ).drop("__p_url")
+        if self.validators is not None:
+            # validators = the prior epoch's fetch_log at scale: never
+            # joined whole — the SAME broadcast batch (ReusedExchange)
+            # semi-filters its column-pruned scan down to ≤batch rows,
+            # which then broadcast onto the hits.
+            vals = self.validators.select(
+                F.col("url").alias("__v_url"),
+                F.col("if_modified_since").alias("__ims"),
+            )
+            vals_b = vals.join(
+                F.broadcast(batch), F.col("__v_url") == batch["url"],
+                "left_semi",
+            )
+            hits_raw = hits_raw.join(
+                F.broadcast(vals_b),
+                hits_raw["url"] == F.col("__v_url"), "left",
+            ).drop("__v_url")
 
         att = F.col("attempt") if "attempt" in batch.columns else F.lit(0)
         if flaky:
@@ -80,6 +112,20 @@ class SimulatedFetcher:
             ).otherwise(F.lit(200))
         else:
             status = F.lit(200)
+        if self.validators is not None:
+            # conditional GET: 304 only where the fetch would otherwise
+            # succeed (flaky 5xx = no answer; join below adds __ims).
+            status = F.when(
+                (status == 200) & F.col("__ims").isNotNull()
+                & (F.col("warc_ts") <= F.col("__ims")),
+                F.lit(304),
+            ).otherwise(status)
+        if redir:
+            # a Location header wins over the flaky marker (the server
+            # answered — with a 301): mirrors OracleCrawl.redirects.
+            status = F.when(
+                F.col("redirect_to").isNotNull(), F.lit(301)
+            ).otherwise(status)
         ok = status == 200
         ext = register_extract_udf()
         hits = (
@@ -88,8 +134,22 @@ class SimulatedFetcher:
             .withColumn("n_bytes", F.when(ok, F.octet_length("html")).otherwise(0).cast("long"))
             .withColumn("text", F.when(ok, F.col("e.text")))
             .withColumn("links", F.when(ok, F.col("e.links")).otherwise(F.array().cast("array<string>")))
-            .withColumn("error", F.when(ok, F.lit(None).cast("string")).otherwise(F.lit("transient_503")))
-            .drop("e", "html", *(["flaky_fails"] if flaky else []))
+            .withColumn(
+                "location",
+                F.col("redirect_to") if redir
+                else F.lit(None).cast("string"),
+            )
+            .withColumn(
+                "error",
+                F.when(ok | (status == 301) | (status == 304),
+                       F.lit(None).cast("string"))
+                .otherwise(F.lit("transient_503")),
+            )
+            .drop("e", "html", *(
+                (["flaky_fails"] if flaky else [])
+                + (["redirect_to"] if redir else [])
+                + (["__ims"] if self.validators is not None else [])
+            ))
         )
         # IDENTICAL broadcast subtree to the hits join above -> Spark
         # reuses the built broadcast (ReusedExchange): one driver-side
@@ -109,6 +169,7 @@ class SimulatedFetcher:
             .withColumn("n_bytes", F.lit(0).cast("long"))
             .withColumn("text", F.lit(None).cast("string"))
             .withColumn("links", F.array().cast("array<string>"))
+            .withColumn("location", F.lit(None).cast("string"))
             .withColumn("error", F.lit("not_found"))
         )
         return hits.unionByName(misses.select(*hits.columns))
@@ -162,6 +223,7 @@ class HttpFetcher:
                 T.StructField("text", T.StringType()),
                 T.StructField("links", T.ArrayType(T.StringType())),
                 T.StructField("error", T.StringType()),
+                T.StructField("location", T.StringType()),
             ]
         )
 
@@ -185,6 +247,11 @@ class HttpFetcher:
             for c in ("status", "warc_ts", "html"):
                 b[c] = resp[c]
             b["error"] = resp.get("error", pd.Series([None] * len(b), index=b.index))
+            # 3xx Location header (engine enqueues the target; an
+            # older transport without the column yields all-null)
+            b["location"] = resp.get(
+                "location", pd.Series([None] * len(b), index=b.index)
+            )
             b["n_bytes"] = b["html"].map(lambda h: len(h) if h is not None else 0)
             ext = extract_frame(b["html"].where(b["status"] == 200, None))
             b["text"] = ext["text"].where(b["status"] == 200, None)

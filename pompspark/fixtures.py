@@ -61,21 +61,32 @@ def page_html(url: str, body_text: str, outlinks: list[str]) -> bytes:
 
 
 def pages_rows(sitemap: dict[str, list[str]], bodies: dict[str, str] | None = None,
-               langs: dict[str, str] | None = None) -> pd.DataFrame:
+               langs: dict[str, str] | None = None,
+               redirects: dict[str, str] | None = None) -> pd.DataFrame:
     """Build the pages table (F1 shape) for a sitemap. ``text`` is the
-    ground-truth output of the pinned extractor."""
+    ground-truth output of the pinned extractor. ``redirects`` adds a
+    ``redirect_to`` column (SimulatedFetcher: such urls answer 301 +
+    Location instead of their html); redirect-only urls may appear in
+    ``redirects`` without a sitemap entry."""
     rows = []
-    for i, (url, kids) in enumerate(sitemap.items()):
+    urls = list(sitemap) + [
+        u for u in (redirects or {}) if u not in sitemap
+    ]
+    for i, url in enumerate(urls):
+        kids = sitemap.get(url, [])
         body = (bodies or {}).get(url, f"body of {url}")
         html = page_html(url, body, kids)
         text, _links = ref_extract(html)
-        rows.append({
+        row = {
             "url": url,
             "warc_ts": EPOCH + dt.timedelta(seconds=i),
             "html": html,
             "text": text,
             "lang": (langs or {}).get(url, "en"),
-        })
+        }
+        if redirects is not None:
+            row["redirect_to"] = redirects.get(url)
+        rows.append(row)
     return pd.DataFrame(rows)
 
 

@@ -34,6 +34,7 @@ def revisit_schedule(
     url_col: str = "url",
     round_col: str = "round",
     text_col: str = "text",
+    status_col: str | None = None,
 ) -> DataFrame:
     """Per-url revisit decision from fetch history rows
     (url, round, text).
@@ -48,16 +49,42 @@ def revisit_schedule(
     Only the two most recent fetches per url participate (row_number
     window, one shuffle on url); texts are compared as xxhash64
     fingerprints so the shuffle carries 8-byte values.
+
+    ``status_col``: conditional-GET-aware mode. History rows then mean
+    - 200: a body was transferred — fingerprint = xxhash64(text);
+    - 304: the server confirmed "identical to what you last saw" —
+      the row INHERITS the newest earlier fingerprint (a forward fill
+      over the same url partition: one extra sort, zero extra
+      shuffles), so a 304-after-200 reads as unchanged instead of
+      comparing a null body against real text;
+    - anything else (3xx/4xx/5xx): no content observation — excluded.
     """
     halved = max(min_interval, base_interval // 2)
     doubled = min(max_interval, base_interval * 2)
-    w = Window.partitionBy(url_col).orderBy(F.col(round_col).desc())
-    ranked = (
-        history.select(
+    if status_col is not None:
+        src = history.filter(F.col(status_col).isin(200, 304)).select(
+            F.col(url_col).alias("url"),
+            F.col(round_col).alias("round"),
+            F.when(F.col(status_col) == 304, F.lit(None).cast("long"))
+            .otherwise(F.xxhash64(F.col(text_col))).alias("__fp_raw"),
+        )
+        ffill = (
+            Window.partitionBy("url")
+            .orderBy(F.col("round").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        src = src.withColumn(
+            "__fp", F.last("__fp_raw", ignorenulls=True).over(ffill)
+        ).drop("__fp_raw")
+    else:
+        src = history.select(
             F.col(url_col).alias("url"),
             F.col(round_col).alias("round"),
             F.xxhash64(F.col(text_col)).alias("__fp"),
         )
+    w = Window.partitionBy("url").orderBy(F.col("round").desc())
+    ranked = (
+        src
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 2)
     )
@@ -81,6 +108,24 @@ def revisit_schedule(
         ((F.lit(current_round) - F.col("last_round")) >= interval)
         .cast("int")
         .alias("due"),
+    )
+
+
+def conditional_validators(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    status_col: str = "status",
+) -> DataFrame:
+    """(url, if_modified_since) for the next epoch's conditional GETs
+    (SimulatedFetcher(validators=...) / an If-Modified-Since header on
+    a real transport): the newest validated timestamp per url — both a
+    200 body and a 304 confirmation refresh it. One groupBy on url
+    over two pruned columns; text never participates."""
+    return (
+        fetch_log.filter(F.col(status_col).isin(200, 304))
+        .groupBy(F.col(url_col).alias("url"))
+        .agg(F.max(ts_col).alias("if_modified_since"))
     )
 
 

@@ -49,7 +49,7 @@ class Entry:
     depth: int
     priority: float
     seq: int
-    state: str  # queued | fetched | error | excluded | retry
+    state: str  # queued | fetched | error | excluded | retry | redirect
     discovered_round: int = 0
     attempts: int = 0       # failed fetch attempts so far
     retry_round: int = 0    # round of the last transient failure
@@ -79,6 +79,20 @@ class OracleCrawl:
     # seq) once current_round - retry_round >= retry_delay_rounds;
     # otherwise it is terminal 'error'. 404s are always terminal.
     flaky: dict[str, int] | None = None
+    # redirect contract (mirrors CrawlEngine): redirects[url] = the
+    # Location header value (absolute or relative). Fetching such a
+    # url records status 301 / state 'redirect' (terminal, never
+    # retried) and admits canonicalize(location, base=url) exactly
+    # like a discovered link: depth+1, CHILD_PRIORITY, next seq — so
+    # depth rules bound redirect chains and frontier dedup terminates
+    # cycles. A Location wins over the flaky marker (the server
+    # answered, with a 301).
+    redirects: dict[str, str] | None = None
+    # conditional-GET contract: urls in ``not_modified`` answer 304 —
+    # a completed visit (state 'fetched') with no body and no
+    # discoveries; mirrors SimulatedFetcher(validators=...) where the
+    # page's warc_ts <= the epoch's if_modified_since validator.
+    not_modified: set[str] | None = None
     max_retries: int = 0
     retry_delay_rounds: int = 1
     max_rounds: int = 10_000
@@ -156,12 +170,30 @@ class OracleCrawl:
             # fetch in order; collect discoveries in order
             for rank, e in enumerate(selected):
                 self.trace.append(TraceRow(rnd, rank, e.url, e.depth, e.host))
+                loc = (self.redirects or {}).get(e.url)
+                if loc is not None:
+                    e.state = "redirect"
+                    self.fetch_log.append({"url": e.url, "round": rnd,
+                                           "status": 301, "n_links": 0})
+                    c = canonicalize(loc, base=e.url)
+                    if c is not None:
+                        self._admit(c, e.depth + 1, CHILD_PRIORITY, rnd)
+                    continue
                 kids = self.sitemap.get(e.url)
                 if kids is None:
                     e.state = "error"
                     self.fetch_log.append({"url": e.url, "round": rnd,
                                            "status": 404, "n_links": 0})
                     continue
+                if e.url in (self.not_modified or ()):
+                    # flaky precedence matches SimulatedFetcher: the
+                    # 304 applies only where the fetch would succeed
+                    if e.attempts >= (self.flaky or {}).get(e.url, 0):
+                        e.state = "fetched"
+                        self.fetch_log.append({"url": e.url, "round": rnd,
+                                               "status": 304,
+                                               "n_links": 0})
+                        continue
                 if e.attempts < (self.flaky or {}).get(e.url, 0):
                     e.attempts += 1
                     if e.attempts <= self.max_retries:

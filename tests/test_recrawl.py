@@ -62,3 +62,150 @@ def test_due_seeds_feed_next_epoch(spark, tmp_path):
     assert e.seed_frontier(seeds) == 1
     e.run(max_rounds=1)
     assert [r.url for r in e.trace().collect()] == ["http://a.example/p0"]
+
+
+# ------------------------------------------------------- conditional GET / 304
+
+
+def _pages_with_ts(spark, rows):
+    """rows: (url, warc_ts_seconds, kids) -> pages df (F1 shape)."""
+    import pandas as pd
+
+    from pompspark.extract import ref_extract
+    from pompspark.fixtures import EPOCH, page_html
+    from pompspark.schemas import PAGES
+
+    recs = []
+    for url, sec, kids in rows:
+        import datetime as dt
+
+        html = page_html(url, f"body of {url}", kids)
+        text, _ = ref_extract(html)
+        recs.append({"url": url, "warc_ts": EPOCH + dt.timedelta(seconds=sec),
+                     "html": html, "text": text, "lang": "en"})
+    return spark.createDataFrame(pd.DataFrame(recs), schema=PAGES)
+
+
+def test_simulated_fetcher_conditional_304(spark):
+    """304 iff the page is not newer than the validator; newer -> 200
+    with a body; urls without a validator always 200; missing -> 404."""
+    import datetime as dt
+
+    from pompspark.fetch import SimulatedFetcher
+    from pompspark.fixtures import EPOCH
+
+    pages = _pages_with_ts(spark, [
+        ("http://a.example/old", 10, []),
+        ("http://a.example/new", 50, []),
+        ("http://a.example/novalid", 10, []),
+    ])
+    validators = spark.createDataFrame(
+        [("http://a.example/old", EPOCH + dt.timedelta(seconds=30)),
+         ("http://a.example/new", EPOCH + dt.timedelta(seconds=30)),
+         ("http://a.example/gone", EPOCH + dt.timedelta(seconds=30))],
+        "url string, if_modified_since timestamp",
+    )
+    batch = spark.createDataFrame(
+        [(u,) for u in ("http://a.example/old", "http://a.example/new",
+                        "http://a.example/novalid", "http://a.example/gone")],
+        ["url"],
+    )
+    out = {r.url: r for r in
+           SimulatedFetcher(pages, validators=validators).fetch(batch).collect()}
+    assert out["http://a.example/old"].status == 304
+    assert out["http://a.example/old"].text is None
+    assert out["http://a.example/old"].error is None
+    assert out["http://a.example/old"].n_bytes == 0
+    assert out["http://a.example/old"].links == []
+    assert out["http://a.example/new"].status == 200
+    assert out["http://a.example/new"].text is not None
+    assert out["http://a.example/novalid"].status == 200
+    assert out["http://a.example/gone"].status == 404
+
+
+def test_conditional_epoch_flow(spark, tmp_path):
+    """Two-epoch re-crawl: epoch-1 fetch_log -> conditional_validators
+    -> epoch-2 over a partially-updated web answers 304 for unchanged pages
+    and 200 (fresh text) for updated ones; trace order matches the
+    oracle with the same not_modified set."""
+    from pompspark.engine import CrawlEngine
+    from pompspark.fetch import SimulatedFetcher
+    from pompspark.frontier import S_RANK, S_ROUND
+    from pompspark.recrawl import conditional_validators
+    from tests.oracle_sim import OracleCrawl
+
+    sitemap = {
+        "http://a.example/p0": ["http://a.example/p1", "http://b.example/p0"],
+        "http://a.example/p1": [],
+        "http://b.example/p0": [],
+    }
+    pages1 = _pages_with_ts(
+        spark, [(u, 10, kids) for u, kids in sitemap.items()])
+    e1 = CrawlEngine(spark, str(tmp_path / "epoch1"),
+                     SimulatedFetcher(pages1),
+                     per_round_budget=5, per_host_budget=5)
+    e1.seed(["http://a.example/p0"])
+    e1.run(max_rounds=10)
+    vals = conditional_validators(e1.fetch_log())
+    assert vals.count() == 3
+
+    # epoch 2: only a/p1 changed (newer warc_ts)
+    pages2 = _pages_with_ts(spark, [
+        ("http://a.example/p0", 10, sitemap["http://a.example/p0"]),
+        ("http://a.example/p1", 99, []),
+        ("http://b.example/p0", 10, []),
+    ])
+    e2 = CrawlEngine(spark, str(tmp_path / "epoch2"),
+                     SimulatedFetcher(pages2, validators=vals),
+                     per_round_budget=5, per_host_budget=5)
+    e2.seed_frontier(spark.createDataFrame(
+        [(u,) for u in sitemap], ["url"]))
+    e2.run(max_rounds=10)
+    log = {r.url: r for r in e2.fetch_log().collect()}
+    assert log["http://a.example/p0"].status == 304
+    assert log["http://b.example/p0"].status == 304
+    assert log["http://a.example/p1"].status == 200
+    assert log["http://a.example/p1"].text is not None
+    # 304 is a completed visit: nothing re-queued, crawl stopped
+    got = [(r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url)
+           for r in e2.trace().collect()]
+    assert len(got) == 3
+
+    sim = OracleCrawl(
+        sitemap=sitemap, per_round_budget=5, per_host_budget=5,
+        not_modified={"http://a.example/p0", "http://b.example/p0"},
+    )
+    sim.seed(list(sitemap))
+    sim.run()
+    want_log = sorted((d["url"], d["status"]) for d in sim.fetch_log)
+    assert sorted((u, r.status) for u, r in log.items()) == want_log
+
+
+def test_revisit_schedule_304_aware(spark):
+    """status mode: a 304 inherits the newest earlier fingerprint —
+    304-after-200 reads unchanged; a changed 200 after a 304 chain
+    still reads changed."""
+    rows = [
+        # u1: 200(v1) then 304 -> unchanged -> interval doubles
+        ("u1", 1, "v1", 200), ("u1", 5, None, 304),
+        # u2: 200(v1), 304, then 200(v2): last two = (304->v1, v2) -> changed
+        ("u2", 1, "v1", 200), ("u2", 3, None, 304), ("u2", 5, "v2", 200),
+        # u3: two 304s in a row -> unchanged
+        ("u3", 1, "v1", 200), ("u3", 3, None, 304), ("u3", 5, None, 304),
+        # u4: a 5xx row is ignored entirely
+        ("u4", 1, "v1", 200), ("u4", 3, None, 503), ("u4", 5, "v1", 200),
+    ]
+    h = spark.createDataFrame(
+        rows, "url string, round int, text string, status int")
+    got = {
+        r.url: (r.last_round, r.changed, r.interval, r.due)
+        for r in revisit_schedule(
+            h, current_round=12, base_interval=8, status_col="status"
+        ).collect()
+    }
+    assert got == {
+        "u1": (5, 0, 16, 0),
+        "u2": (5, 1, 4, 1),
+        "u3": (5, 0, 16, 0),
+        "u4": (5, 0, 16, 0),
+    }
