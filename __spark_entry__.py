@@ -252,6 +252,96 @@ def q_conditional_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (domains.registrable_domain_col, the
+    public-suffix default algorithm + embedded multi-label shortlist):
+    six synthesized host shapes per doc_id — plain com, deep
+    subdomain, co.uk, a 4-label host under a 3-label suffix, an IP
+    literal, and a bare single label — with the expected registrable
+    domain stated by construction in the oracle."""
+    from pompspark.domains import registrable_domain_col
+
+    d = _documents(spark, sf_dir)
+    k = (F.col("doc_id") % 100).cast("string")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("a.b.c.site"), k, F.lit(".org")))
+        .when(m == 2, F.concat(F.lit("shop.site"), k, F.lit(".co.uk")))
+        .when(m == 3, F.concat(F.lit("school"), k, F.lit(".nsw.edu.au")))
+        .when(m == 4, F.concat(F.lit("10.0.3."), (F.col("doc_id") % 256).cast("string")))
+        .otherwise(F.lit("localhost"))
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        host.alias("host"),
+    ).withColumn(
+        "domain", registrable_domain_col(F.col("host"))
+    ).orderBy("doc_id")
+
+
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-corpus pipeline as one DataFrame plan —
+    PII scrub -> quality gate -> exact dedup (keep-first among kept)
+    -> benchmark decontamination -> export decision — each stage the
+    REAL operator (pii.scrub_pii, textclean.decontaminate), chained
+    the way a corpus build actually runs them. Near-dup synthesis: a
+    self-join copies each doc's text from its triple's base doc, and
+    every doc gets a PII tail; benchmarks = the first 80 chars of
+    every 10th ORIGINAL doc. One row per doc with all stage verdicts,
+    so the oracle pins not just who survives but why."""
+    from pyspark.sql import Window as W
+
+    from pompspark.pii import scrub_pii
+    from pompspark.textclean import decontaminate
+
+    d = _documents(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").alias("__b_id"),
+        F.substring("text", 1, 100).alias("__b_text"),
+    )
+    docs = d.select("doc_id", "lang").join(
+        base,
+        (F.col("doc_id") - F.col("doc_id") % 3) == F.col("__b_id"),
+        "inner",
+    ).select(
+        "doc_id", "lang",
+        F.concat(
+            "__b_text",
+            F.lit(" Contact bob@mail.example or 10.1.2.3 soon. end."),
+        ).alias("text"),
+    )
+    scrubbed = scrub_pii(docs, with_counts=False)
+    n_chars = F.length("text")
+    n_words = F.when(n_chars == 0, F.lit(0)).otherwise(
+        n_chars - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    )
+    # quality gate = min length AND target language (each doc keeps
+    # its OWN lang; dup copies of an 'en' base in another lang die
+    # here, not in dedup — pins the stage order)
+    q = scrubbed.withColumn(
+        "quality_keep",
+        ((n_words >= 8) & (F.col("lang") == "en")).cast("int"),
+    )
+    w = W.partitionBy("quality_keep", F.md5("text")).orderBy("doc_id")
+    r = q.withColumn("__rn", F.row_number().over(w))
+    bench = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.substring("text", 1, 80).alias("text")
+    )
+    out = decontaminate(r, bench, n=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "quality_keep",
+        ((F.col("quality_keep") == 1) & (F.col("__rn") > 1))
+        .cast("int").alias("is_dup"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+        (
+            (F.col("quality_keep") == 1) & (F.col("__rn") == 1)
+            & ~F.col("contaminated")
+        ).cast("int").alias("exported"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup over the webtext payload: md5-keyed groups,
     representative = min doc_id (training-data pipeline op)."""
@@ -1088,6 +1178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize": q_canonicalize,
         "redirect_resolve": q_redirect_resolve,
         "conditional_fetch": q_conditional_fetch,
+        "registrable_domain": q_registrable_domain,
+        "corpus_export": q_corpus_export,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
@@ -1588,6 +1680,92 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT url AS expected_base,
                    url || '?a=1&b=2' AS canonical
             FROM f
+        """,
+        "corpus_export": r"""
+            WITH docs AS (
+              SELECT d.doc_id, d.lang,
+                     substring(b.text, 1, 100)
+                       || ' Contact bob@mail.example or 10.1.2.3 soon. end.'
+                       AS text
+              FROM documents d
+              JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 3
+            ),
+            scrub AS (
+              SELECT doc_id, lang,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}',
+                      '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                    '<IP>', 'g'),
+                  '\+?\d[\d\-() ]{7,}\d', '<PHONE>', 'g') AS text
+              FROM docs
+            ),
+            q AS (
+              SELECT doc_id, text,
+                CAST((CASE WHEN LENGTH(text) = 0 THEN 0
+                      ELSE LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                      END) >= 8
+                     AND lang = 'en' AS INT) AS quality_keep
+              FROM scrub
+            ),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY quality_keep, md5(text)
+                ORDER BY doc_id) AS rn
+              FROM q
+            ),
+            toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(text, '\s+'),
+                            w -> w != '') AS t
+              FROM r
+            ),
+            bt AS (
+              SELECT list_filter(string_split_regex(
+                       substring(text, 1, 80), '\s+'),
+                     w -> w != '') AS bt
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            bench AS (
+              SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS gram
+              FROM bt, UNNEST(range(1, len(bt) - 6)) AS u(i)
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram
+              FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+            ),
+            cont AS (SELECT DISTINCT doc_id FROM dg JOIN bench USING (gram))
+            SELECT r.doc_id,
+                   r.quality_keep,
+                   CAST(r.quality_keep = 1 AND r.rn > 1 AS INT) AS is_dup,
+                   CAST(cont.doc_id IS NOT NULL AS INT) AS contaminated,
+                   CAST(r.quality_keep = 1 AND r.rn = 1
+                        AND cont.doc_id IS NULL AS INT) AS exported
+            FROM r LEFT JOIN cont ON r.doc_id = cont.doc_id
+            ORDER BY r.doc_id
+        """,
+        "registrable_domain": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'www.site' || CAST(doc_id % 100 AS VARCHAR) || '.com'
+                     WHEN 1 THEN 'a.b.c.site' || CAST(doc_id % 100 AS VARCHAR) || '.org'
+                     WHEN 2 THEN 'shop.site' || CAST(doc_id % 100 AS VARCHAR) || '.co.uk'
+                     WHEN 3 THEN 'school' || CAST(doc_id % 100 AS VARCHAR) || '.nsw.edu.au'
+                     WHEN 4 THEN '10.0.3.' || CAST(doc_id % 256 AS VARCHAR)
+                     ELSE 'localhost'
+                   END AS host,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'site' || CAST(doc_id % 100 AS VARCHAR) || '.com'
+                     WHEN 1 THEN 'site' || CAST(doc_id % 100 AS VARCHAR) || '.org'
+                     WHEN 2 THEN 'site' || CAST(doc_id % 100 AS VARCHAR) || '.co.uk'
+                     WHEN 3 THEN 'school' || CAST(doc_id % 100 AS VARCHAR) || '.nsw.edu.au'
+                     WHEN 4 THEN '10.0.3.' || CAST(doc_id % 256 AS VARCHAR)
+                     ELSE 'localhost'
+                   END AS domain
+            FROM documents
+            ORDER BY doc_id
         """,
         "conditional_fetch": f"""
             SELECT 'http://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
