@@ -136,6 +136,31 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 §2.2.2 longest-match precedence through the REAL
+    enforcement path (robots.with_robots): every 5th host carries
+    Disallow /p1 + Allow /p12 — /p12* urls stay fetchable because the
+    Allow rule is longer, everything else under /p1 is excluded, and
+    an equal-length tie would go to Allow (strict >)."""
+    from pompspark.robots import with_robots
+
+    f = _frontier(spark, sf_dir)
+    cache = spark.range(0, N_HOSTS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(None).cast("double").alias("crawl_delay"),
+        F.when(F.col("id") % 5 == 0, F.array(F.lit("/p1")))
+        .alias("disallow"),
+        F.when(F.col("id") % 5 == 0, F.array(F.lit("/p12")))
+        .alias("allow"),
+    )
+    out = with_robots(f.select("url", "host", "seq"), cache)
+    return out.select(
+        "url", "host", "seq",
+        F.col("disallowed").cast("int").alias("disallowed"),
+    ).orderBy("seq")
+
+
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host politeness cap: host h_i may fetch (2 + i % 3) urls per
     round; report how many each host actually gets."""
@@ -1180,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_fetch": q_conditional_fetch,
         "registrable_domain": q_registrable_domain,
         "corpus_export": q_corpus_export,
+        "robots_allow": q_robots_allow,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
@@ -1680,6 +1706,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT url AS expected_base,
                    url || '?a=1&b=2' AS canonical
             FROM f
+        """,
+        "robots_allow": f"""
+            WITH f AS ({_FRONTIER_SQL})
+            SELECT url, host, seq,
+                   CASE WHEN (seq % {N_HOSTS}) % 5 = 0
+                         AND ('/p' || CAST(seq AS VARCHAR)) LIKE '/p1%'
+                         AND NOT ('/p' || CAST(seq AS VARCHAR)) LIKE '/p12%'
+                        THEN 1 ELSE 0 END AS disallowed
+            FROM f ORDER BY seq
         """,
         "corpus_export": r"""
             WITH docs AS (

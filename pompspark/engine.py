@@ -500,7 +500,7 @@ class CrawlEngine:
             fetch_in = schedule_slots(
                 with_robots(batch, self.robots_df,
                             robots_rows=self.robots_rows)
-            ).drop("crawl_delay", "disallow", "disallowed")
+            ).drop("crawl_delay", "disallow", "allow", "disallowed")
         fetched = self.fetcher.fetch(fetch_in)
         for mw in reversed(self.response_middlewares):  # pomp reverse order
             fetched = mw(fetched)

@@ -101,7 +101,7 @@ def small_robots_df(spark):
 
     rows = [
         {"host": h, "robots_txt": txt, "fetched_ts": EPOCH,
-         "crawl_delay": delay, "disallow": dis}
+         "crawl_delay": delay, "disallow": dis, "allow": None}
         for h, txt, delay, dis in SMALL_ROBOTS
     ]
     return spark.createDataFrame(pd.DataFrame(rows), schema=ROBOTS_CACHE)

@@ -13,27 +13,32 @@ from __future__ import annotations
 import pandas as pd
 
 
-def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[str]]:
+def parse_robots(
+    txt: str | None, agent: str = "*"
+) -> tuple[float | None, list[str], list[str]]:
     """Minimal deterministic robots.txt parser: honors User-agent
-    groups for ``agent`` (and ``*``), Disallow prefixes, Crawl-delay.
-    Empty Disallow lines (allow-all) are ignored. Returns
-    (crawl_delay|None, disallow_prefixes)."""
+    groups for ``agent`` (and ``*``), Disallow AND Allow prefixes,
+    Crawl-delay. Empty Disallow/Allow lines are ignored. Returns
+    (crawl_delay|None, disallow_prefixes, allow_prefixes); precedence
+    between the two lists is decided at MATCH time (longest matching
+    rule wins, tie -> allow — RFC 9309 §2.2.2), not at parse time."""
     if not txt:
-        return None, []
+        return None, [], []
     # collect groups: consecutive User-agent lines share the rules that
     # follow; the MOST SPECIFIC matching group applies (named beats *,
     # never the union — RFC 9309 §2.2.1).
-    groups: list[tuple[list[str], float | None, list[str]]] = []
+    groups: list[tuple[list[str], float | None, list[str], list[str]]] = []
     agents: list[str] = []
     delay: float | None = None
     disallow: list[str] = []
+    allow: list[str] = []
     in_rules = False
 
     def flush():
-        nonlocal agents, delay, disallow, in_rules
+        nonlocal agents, delay, disallow, allow, in_rules
         if agents:
-            groups.append((agents, delay, disallow))
-        agents, delay, disallow, in_rules = [], None, [], False
+            groups.append((agents, delay, disallow, allow))
+        agents, delay, disallow, allow, in_rules = [], None, [], [], False
 
     for raw in txt.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -50,6 +55,10 @@ def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[
             in_rules = True
             if val:
                 disallow.append(val)
+        elif key == "allow":
+            in_rules = True
+            if val:
+                allow.append(val)
         elif key == "crawl-delay":
             in_rules = True
             try:
@@ -57,9 +66,9 @@ def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[
             except ValueError:
                 pass
         else:
-            # RFC 9309: ANY rule line (Allow, Sitemap, unknown
-            # extensions) ends the current group's agent list — without
-            # this, 'User-agent: a\nAllow: /\nUser-agent: *\n...' would
+            # RFC 9309: ANY rule line (Sitemap, unknown extensions)
+            # ends the current group's agent list — without this,
+            # 'User-agent: a\nSitemap: x\nUser-agent: *\n...' would
             # wrongly merge '*' rules into agent a (round-1 advice).
             in_rules = True
     flush()
@@ -68,26 +77,33 @@ def parse_robots(txt: str | None, agent: str = "*") -> tuple[float | None, list[
     star = [g for g in groups if "*" in g[0]]
     chosen = named or star
     if not chosen:
-        return None, []
+        return None, [], []
     # multiple groups for the same agent merge (RFC 9309 §2.2.1)
     out_delay = next((g[1] for g in chosen if g[1] is not None), None)
     out_dis = [p for g in chosen for p in g[2]]
-    return out_delay, out_dis
+    out_alw = [p for g in chosen for p in g[3]]
+    return out_delay, out_dis, out_alw
 
 
 def parse_robots_frame(txts: pd.Series) -> pd.DataFrame:
-    delays, dis = [], []
+    delays, dis, alw = [], [], []
     for t in txts:
-        d, pre = parse_robots(t)
+        d, pre, a = parse_robots(t)
         delays.append(d)
         dis.append(pre)
-    return pd.DataFrame({"crawl_delay": delays, "disallow": dis}, index=txts.index)
+        alw.append(a)
+    return pd.DataFrame(
+        {"crawl_delay": delays, "disallow": dis, "allow": alw},
+        index=txts.index,
+    )
 
 
 def register_parse_robots_udf():
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("crawl_delay double, disallow array<string>")
+    @F.pandas_udf(
+        "crawl_delay double, disallow array<string>, allow array<string>"
+    )
     def parse_robots_udf(txts: pd.Series) -> pd.DataFrame:
         return parse_robots_frame(txts)
 
@@ -104,6 +120,7 @@ def build_robots_cache(robots_df):
         "host", "robots_txt", "fetched_ts",
         F.col("p.crawl_delay").alias("crawl_delay"),
         F.col("p.disallow").alias("disallow"),
+        F.col("p.allow").alias("allow"),
     )
 
 
@@ -145,7 +162,10 @@ def refresh_robots_cache(robots_df, transport, now, ttl_s: float = 86400.0):
     raw = stale.select("host").mapInPandas(
         _refetch, schema="host string, robots_txt string, fetched_ts timestamp"
     )
-    return fresh.unionByName(build_robots_cache(raw))
+    # allowMissingColumns: a cache checkpointed before the Allow column
+    # existed unions cleanly (allow = null -> allow-nothing extra)
+    return fresh.unionByName(build_robots_cache(raw),
+                             allowMissingColumns=True)
 
 
 # ------------------------------------------------------------- enforcement
@@ -178,8 +198,14 @@ def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host",
     any crawl round (batch hosts << all hosts ever seen)."""
     from pyspark.sql import functions as F
 
+    # older caches/callers may predate the Allow column
+    allow_col = (
+        F.col("allow") if "allow" in robots_df.columns
+        else F.lit(None).cast("array<string>").alias("allow")
+    )
     r = robots_df.select(
-        F.col("host").alias("__r_host"), "crawl_delay", "disallow"
+        F.col("host").alias("__r_host"), "crawl_delay", "disallow",
+        allow_col,
     )
     if robots_rows is not None and robots_rows > broadcast_row_gate:
         hosts = df.select(F.col(host_col).alias("__r_host")).distinct()
@@ -192,10 +218,24 @@ def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host",
             F.broadcast(r), F.col(host_col) == F.col("__r_host"), "left"
         ).drop("__r_host")
     p = path_col(F.col(url_col))
-    disallowed = F.when(
-        F.col("disallow").isNotNull(),
-        F.exists("disallow", lambda pre: p.startswith(pre)),
-    ).otherwise(F.lit(False))
+
+    def longest_match(col):
+        # length of the longest rule prefix matching the path (0 = no
+        # match); pure codegen: filter + aggregate over a tiny array
+        return F.aggregate(
+            F.filter(
+                F.coalesce(col, F.array().cast("array<string>")),
+                lambda pre: p.startswith(pre),
+            ),
+            F.lit(0),
+            lambda acc, x: F.greatest(acc, F.length(x)),
+        )
+
+    # RFC 9309 §2.2.2: the most specific (longest) matching rule wins;
+    # on a tie the least restrictive (Allow) wins — hence strict >.
+    disallowed = longest_match(F.col("disallow")) > longest_match(
+        F.col("allow")
+    )
     return joined.withColumn("disallowed", disallowed)
 
 

@@ -46,6 +46,7 @@ ROBOTS_CACHE = T.StructType([
     T.StructField("fetched_ts", T.TimestampType(), True),
     T.StructField("crawl_delay", T.DoubleType(), True),
     T.StructField("disallow", T.ArrayType(T.StringType()), True),
+    T.StructField("allow", T.ArrayType(T.StringType()), True),
 ])
 
 FETCH_LOG = T.StructType([

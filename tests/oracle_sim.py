@@ -109,7 +109,13 @@ class OracleCrawl:
         from urllib.parse import urlsplit
 
         path = urlsplit(url).path or "/"
-        return any(path.startswith(p) for p in r.get("disallow", []))
+        # RFC 9309 §2.2.2 longest-match: most specific rule wins,
+        # tie -> allow (mirrors robots.with_robots)
+        dis = max((len(p) for p in r.get("disallow", [])
+                   if path.startswith(p)), default=0)
+        alw = max((len(p) for p in r.get("allow", [])
+                   if path.startswith(p)), default=0)
+        return dis > alw
 
     def _cap(self, host: str) -> int:
         r = (self.robots or {}).get(host)

@@ -13,9 +13,10 @@ Disallow: /private
 Disallow: /tmp
 Crawl-delay: 2.5
 """
-    delay, dis = parse_robots(txt)
+    delay, dis, alw = parse_robots(txt)
     assert delay == 2.5
     assert dis == ["/private", "/tmp"]
+    assert alw == []
 
 
 def test_parse_robots_agent_groups():
@@ -25,17 +26,17 @@ Disallow: /g-only
 User-agent: *
 Disallow: /all
 """
-    _, dis = parse_robots(txt, agent="pompspark")
+    _, dis, _ = parse_robots(txt, agent="pompspark")
     assert dis == ["/all"]
-    _, dis_g = parse_robots(txt, agent="googlebot")
+    _, dis_g, _ = parse_robots(txt, agent="googlebot")
     assert dis_g == ["/g-only"]
 
 
 def test_parse_robots_empty_disallow_and_garbage():
-    assert parse_robots("User-agent: *\nDisallow:\n") == (None, [])
-    assert parse_robots(None) == (None, [])
-    assert parse_robots("random noise\n::::\n") == (None, [])
-    assert parse_robots("User-agent: *\nCrawl-delay: fast\n") == (None, [])
+    assert parse_robots("User-agent: *\nDisallow:\n") == (None, [], [])
+    assert parse_robots(None) == (None, [], [])
+    assert parse_robots("random noise\n::::\n") == (None, [], [])
+    assert parse_robots("User-agent: *\nCrawl-delay: fast\n") == (None, [], [])
 
 
 def test_build_robots_cache_udf(spark):
@@ -130,3 +131,115 @@ def test_robots_ttl_refresh(spark):
     # identity when nothing is stale (caller skips the table rewrite)
     again = refresh_robots_cache(updated, transport, now, ttl_s=86400.0)
     assert again is updated
+
+
+# ------------------------------------------------------ Allow (RFC 9309 §2.2.2)
+
+
+def test_parse_robots_allow():
+    txt = """User-agent: *
+Disallow: /private
+Allow: /private/public
+Allow:
+"""
+    delay, dis, alw = parse_robots(txt)
+    assert delay is None
+    assert dis == ["/private"]
+    assert alw == ["/private/public"]  # empty Allow ignored
+
+
+def test_parse_robots_allow_does_not_merge_groups():
+    # Allow ends the agent list like any rule line
+    txt = """User-agent: a
+Allow: /a-ok
+User-agent: *
+Disallow: /all
+"""
+    _, dis, alw = parse_robots(txt, agent="a")
+    assert (dis, alw) == ([], ["/a-ok"])
+    _, dis2, alw2 = parse_robots(txt, agent="other")
+    assert (dis2, alw2) == (["/all"], [])
+
+
+def test_with_robots_longest_match_wins(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from pompspark.robots import build_robots_cache, with_robots
+    from pompspark.schemas import ROBOTS_CACHE
+
+    txt = ("User-agent: *\n"
+           "Disallow: /private\n"
+           "Allow: /private/public\n"
+           "Disallow: /private/public/but-not-this\n"
+           "Allow: /tie\n"
+           "Disallow: /tie\n")
+    cache = build_robots_cache(spark.createDataFrame(pd.DataFrame([
+        {"host": "x.example", "robots_txt": txt,
+         "fetched_ts": dt.datetime(2026, 1, 1)},
+    ])))
+    assert set(cache.columns) == set(ROBOTS_CACHE.fieldNames()) - {"host"} | {"host"}
+    urls = [
+        ("http://x.example/private/secret", True),     # disallow wins
+        ("http://x.example/private/public/page", False),  # longer allow
+        ("http://x.example/private/public/but-not-this/x", True),
+        ("http://x.example/tie/page", False),          # tie -> allow
+        ("http://x.example/open", False),
+    ]
+    df = spark.createDataFrame(
+        [(u, "x.example") for u, _ in urls], ["url", "host"])
+    got = {r.url: r.disallowed for r in with_robots(df, cache).collect()}
+    for u, want in urls:
+        assert got[u] == want, u
+
+
+def test_allow_trace_equivalence(spark, tmp_path):
+    """Engine honors Allow at merge AND fetch time: /private/* is
+    excluded except /private/public, trace == oracle."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pompspark.engine import simulated_engine
+    from pompspark.fixtures import pages_rows
+    from pompspark.frontier import S_RANK, S_ROUND
+    from pompspark.robots import build_robots_cache
+    from pompspark.schemas import PAGES
+    from tests.oracle_sim import OracleCrawl
+
+    sitemap = {
+        "http://x.example/": ["http://x.example/private/a",
+                               "http://x.example/private/public",
+                               "http://x.example/open"],
+        "http://x.example/private/a": [],
+        "http://x.example/private/public": [],
+        "http://x.example/open": [],
+    }
+    txt = "User-agent: *\nDisallow: /private\nAllow: /private/public\n"
+    robots = build_robots_cache(spark.createDataFrame(pd.DataFrame([
+        {"host": "x.example", "robots_txt": txt,
+         "fetched_ts": dt.datetime(2026, 1, 1)},
+    ])))
+    eng = simulated_engine(
+        spark, str(tmp_path / "allow"),
+        spark.createDataFrame(pages_rows(sitemap), schema=PAGES),
+        robots_df=robots, per_round_budget=5, per_host_budget=5,
+    )
+    eng.seed(["http://x.example/"])
+    eng.run(max_rounds=10)
+    got = [
+        (r.round, (int(r.seq) % S_ROUND) // S_RANK, r.url, r.depth, r.host)
+        for r in eng.trace().collect()
+    ]
+    sim = OracleCrawl(
+        sitemap=sitemap, per_round_budget=5, per_host_budget=5,
+        robots={"x.example": {"disallow": ["/private"],
+                              "allow": ["/private/public"]}},
+    )
+    sim.seed(["http://x.example/"])
+    sim.run()
+    assert got == sim.trace_tuples()
+    visited = {u for (_r, _k, u, _d, _h) in got}
+    assert "http://x.example/private/public" in visited
+    assert "http://x.example/private/a" not in visited
