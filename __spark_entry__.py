@@ -161,6 +161,46 @@ def q_robots_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seq")
 
 
+def q_canonical_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical consolidation (metarobots.canonical_consolidate):
+    doc_id % 3 == 0 -> no tag (self-canonical, group target);
+    == 1 -> absolute href to doc (doc_id-1)'s url (joins that group,
+    target wins rep); == 2 -> RELATIVE href in the reversed attribute
+    order, resolving against the page's own host (singleton group).
+    Oracle states canonical_url and the representative by
+    construction."""
+    from pompspark.metarobots import canonical_consolidate
+
+    d = _documents(spark, sf_dir)
+    k = (F.col("doc_id") % N_HOSTS).cast("string")
+    kprev = ((F.col("doc_id") - 1) % N_HOSTS).cast("string")
+    s = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("http://h"), k, F.lit(".example/p"), s)
+    target = F.concat(F.lit("http://h"), kprev, F.lit(".example/p"),
+                      (F.col("doc_id") - 1).cast("string"))
+    m = F.col("doc_id") % 3
+    tag = (
+        F.when(m == 1, F.concat(F.lit('<link rel="canonical" href="'),
+                                target, F.lit('">')))
+        .when(m == 2, F.concat(F.lit('<link href="/p'),
+                               (F.col("doc_id") - 2).cast("string"),
+                               F.lit('" rel=canonical>')))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        F.encode(F.concat(F.lit("<html><head>"), tag,
+                          F.lit("</head><body>x</body></html>")),
+                 "utf-8").alias("html"),
+    )
+    out = canonical_consolidate(pages)
+    return out.select(
+        "doc_id", "url", "canonical_url",
+        F.col("is_canonical_rep").cast("int").alias("is_rep"),
+    ).orderBy("doc_id")
+
+
 def q_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host politeness cap: host h_i may fetch (2 + i % 3) urls per
     round; report how many each host actually gets."""
@@ -1206,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domain": q_registrable_domain,
         "corpus_export": q_corpus_export,
         "robots_allow": q_robots_allow,
+        "canonical_consolidate": q_canonical_consolidate,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ngram_jaccard_hashed": q_ngram_jaccard_hashed,
@@ -1706,6 +1747,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT url AS expected_base,
                    url || '?a=1&b=2' AS canonical
             FROM f
+        """,
+        "canonical_consolidate": f"""
+            WITH u AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'http://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 1 THEN 'http://h'
+                         || CAST((doc_id - 1) % {N_HOSTS} AS VARCHAR)
+                         || '.example/p' || CAST(doc_id - 1 AS VARCHAR)
+                       WHEN 2 THEN 'http://h'
+                         || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                         || '.example/p' || CAST(doc_id - 2 AS VARCHAR)
+                       ELSE NULL
+                     END AS tgt
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, url, coalesce(tgt, url) AS canonical_url
+              FROM u
+            )
+            SELECT doc_id, url, canonical_url,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY canonical_url
+                     ORDER BY CASE WHEN url = canonical_url
+                                   THEN 0 ELSE 1 END, url) = 1
+                        AS INT) AS is_rep
+            FROM c ORDER BY doc_id
         """,
         "robots_allow": f"""
             WITH f AS ({_FRONTIER_SQL})

@@ -78,3 +78,89 @@ def filter_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
         .filter(~F.col("noindex"))
         .drop("noindex", "nofollow")
     )
+
+
+# --------------------------------------------------------- rel=canonical
+
+# href of a rel=canonical link tag, either attribute order
+_CANON_FWD = (
+    r"<link[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*"
+    r"href\s*=\s*[\"']?([^\"' >]+)"
+)
+_CANON_REV = (
+    r"<link[^>]*href\s*=\s*[\"']?([^\"' >]+)[\"']?[^>]*"
+    r"rel\s*=\s*[\"']?canonical[\"']?"
+)
+
+
+def canonical_link_href(html_col: Column) -> Column:
+    """Raw href of the page's <link rel=canonical> tag (null if none,
+    possibly relative — resolve against the page url with
+    canon.resolve_discoveries like any discovered href). Lenient
+    binary->string cast; rel is matched case-insensitively but the
+    href's case is PRESERVED (urls are case-sensitive past the
+    host)."""
+    s = html_col.cast("string")
+    # lowercase only for finding the tag; extract from the original
+    fwd = F.regexp_extract(s, "(?i)" + _CANON_FWD, 1)
+    rev = F.regexp_extract(s, "(?i)" + _CANON_REV, 1)
+    got = F.when(fwd != "", fwd).otherwise(rev)
+    return F.when(got != "", got)
+
+
+def canonical_consolidate(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Canonical-URL dedup (the index-consolidation rule every corpus
+    build applies before content dedup): pages declaring the same
+    rel=canonical target collapse to one representative.
+
+    Appends:
+    - ``canonical_url``: the resolved canonical target (self for pages
+      without the tag or with an unresolvable href);
+    - ``is_canonical_rep``: true for the group's representative —
+      the page whose url IS the target when fetched, else the
+      lexicographically first url (deterministic without needing the
+      target fetched).
+
+    Plan: href extraction + resolution are map-side (regexp + the
+    shared canon fast path); the only shuffle is the groupBy on
+    canonical_url carrying (canonical_url, url) pairs — text and html
+    never move. Self-canonical pages (the overwhelming majority on a
+    real crawl) could skip the shuffle with a canonical_url == url
+    pre-filter; kept simple here because the pair shuffle is 2 small
+    strings per row.
+    """
+    from pompspark.canon import resolve_discoveries
+
+    with_href = pages.withColumn(
+        "__href", canonical_link_href(F.col(html_col))
+    )
+    tagged = with_href.filter(F.col("__href").isNotNull())
+    untagged = with_href.filter(F.col("__href").isNull()).withColumn(
+        "canonical_url", F.col(url_col)
+    )
+    resolved = resolve_discoveries(
+        tagged, href_col="__href", base_col=url_col
+    ).withColumn(
+        "canonical_url", F.col("child")
+    ).drop("child", "child_host")
+    # unresolvable hrefs (mailto:, garbage) fell out of resolve_
+    # discoveries — re-admit those pages as self-canonical
+    dropped = tagged.join(
+        resolved.select(F.col(url_col).alias("__r_url")),
+        tagged[url_col] == F.col("__r_url"), "left_anti",
+    ).withColumn("canonical_url", F.col(url_col))
+    all_rows = untagged.unionByName(resolved).unionByName(dropped)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("canonical_url").orderBy(
+        # the target itself (if present in the group) beats url order
+        (F.col(url_col) != F.col("canonical_url")).cast("int"),
+        F.col(url_col),
+    )
+    return (
+        all_rows.withColumn(
+            "is_canonical_rep", F.row_number().over(w) == 1
+        ).drop("__href")
+    )
