@@ -219,13 +219,33 @@ def with_robots(df, robots_df, url_col: str = "url", host_col: str = "host",
         ).drop("__r_host")
     p = path_col(F.col(url_col))
 
+    def rule_matches(rule):
+        # RFC 9309 §2.2.3 special characters: '*' matches any char
+        # sequence, a TRAILING '$' anchors the rule at path end.
+        # Wildcard-free rules (the overwhelming majority) stay on the
+        # literal startswith fast path; wildcard rules translate to an
+        # anchored regex EXECUTOR-SIDE (rules are per-host data, not
+        # literals): escape Java-regex metachars, then '\*' -> '.*'
+        # and a trailing '\$' -> '$'. All codegen, no UDF.
+        has_wild = rule.contains("*") | rule.endswith("$")
+        esc = F.regexp_replace(
+            rule, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1"
+        )
+        re_rule = F.regexp_replace(esc, r"\\\*", ".*")
+        # replacement-side '$' needs escaping in Java replacement syntax
+        re_rule = F.regexp_replace(re_rule, r"\\\$$", r"\$")
+        return F.when(
+            has_wild, F.rlike(p, F.concat(F.lit("^"), re_rule))
+        ).otherwise(p.startswith(rule))
+
     def longest_match(col):
-        # length of the longest rule prefix matching the path (0 = no
-        # match); pure codegen: filter + aggregate over a tiny array
+        # length of the longest matching RULE (0 = no match; RFC:
+        # specificity = rule octet length, wildcards count as-is);
+        # pure codegen: filter + aggregate over a tiny array
         return F.aggregate(
             F.filter(
                 F.coalesce(col, F.array().cast("array<string>")),
-                lambda pre: p.startswith(pre),
+                rule_matches,
             ),
             F.lit(0),
             lambda acc, x: F.greatest(acc, F.length(x)),

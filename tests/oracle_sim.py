@@ -110,11 +110,22 @@ class OracleCrawl:
 
         path = urlsplit(url).path or "/"
         # RFC 9309 §2.2.2 longest-match: most specific rule wins,
-        # tie -> allow (mirrors robots.with_robots)
+        # tie -> allow; §2.2.3 '*' wildcard + trailing '$' anchor
+        # (mirrors robots.with_robots)
+        def rule_match(rule: str) -> bool:
+            if "*" in rule or rule.endswith("$"):
+                import re as _re
+
+                pat = _re.escape(rule).replace(r"\*", ".*")
+                if pat.endswith(r"\$"):
+                    pat = pat[:-2] + "$"
+                return _re.match(pat, path) is not None
+            return path.startswith(rule)
+
         dis = max((len(p) for p in r.get("disallow", [])
-                   if path.startswith(p)), default=0)
+                   if rule_match(p)), default=0)
         alw = max((len(p) for p in r.get("allow", [])
-                   if path.startswith(p)), default=0)
+                   if rule_match(p)), default=0)
         return dis > alw
 
     def _cap(self, host: str) -> int:

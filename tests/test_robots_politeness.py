@@ -243,3 +243,63 @@ def test_allow_trace_equivalence(spark, tmp_path):
     visited = {u for (_r, _k, u, _d, _h) in got}
     assert "http://x.example/private/public" in visited
     assert "http://x.example/private/a" not in visited
+
+
+def test_with_robots_wildcards(spark):
+    """RFC 9309 §2.2.3: '*' matches any sequence, trailing '$' anchors
+    at path end; specificity = rule length. Engine expression must
+    agree with the oracle simulator's python twin on every case."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pompspark.robots import build_robots_cache, with_robots
+    from tests.oracle_sim import OracleCrawl
+
+    txt = ("User-agent: *\n"
+           "Disallow: /a/*/secret\n"
+           "Disallow: /exact$\n"
+           "Disallow: /dl/*.pdf$\n"
+           "Allow: /a/pub/secret\n"
+           "Disallow: /dot.d\n")
+    cache = build_robots_cache(spark.createDataFrame(pd.DataFrame([
+        {"host": "w.example", "robots_txt": txt,
+         "fetched_ts": dt.datetime(2026, 1, 1)},
+    ])))
+    paths = [
+        ("/a/x/secret", True),          # * spans one segment
+        ("/a/x/y/secret", True),        # * spans several
+        ("/a/secret", False),           # nothing for * is still ok? no:
+                                        # '/a/*/secret': '*' may match
+                                        # empty -> '/a//secret' only;
+                                        # '/a/secret' does NOT match
+        ("/a/pub/secret", False),       # allow longer than disallow
+        ("/exact", True),               # $ anchored hit
+        ("/exact/sub", False),          # past the anchor
+        ("/dl/x.pdf", True),
+        ("/dl/x.pdf?y", False),         # query is not in path... but
+                                        # path_col strips query: '/dl/x.pdf'
+        ("/dot.d/x", True),             # '.' is literal (escaped)
+        ("/dotXd/x", False),            # regex '.' must NOT match
+        ("/open", False),
+    ]
+    urls = [(f"http://w.example{p}", "w.example") for p, _ in paths]
+    df = spark.createDataFrame(urls, ["url", "host"])
+    got = {r.url: r.disallowed
+           for r in with_robots(df, cache).collect()}
+    # python twin for cross-checking every case
+    sim = OracleCrawl(sitemap={}, robots={"w.example": {
+        "disallow": ["/a/*/secret", "/exact$", "/dl/*.pdf$", "/dot.d"],
+        "allow": ["/a/pub/secret"],
+    }})
+    for pth, _want in paths:
+        url = f"http://w.example{pth}"
+        oracle = sim._disallowed(url, "w.example")
+        assert got[url] == oracle, (pth, got[url], oracle)
+    # and the hand-stated expectations hold where path survives
+    # parse_url intact (queries are stripped by path_col, so the
+    # '?y' case resolves to the same path as the plain pdf)
+    for pth, want in paths:
+        if pth == "/dl/x.pdf?y":
+            continue
+        assert got[f"http://w.example{pth}"] == want, pth
