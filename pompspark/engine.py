@@ -663,30 +663,33 @@ class CrawlEngine:
         # discoveries -> canonicalize -> dedup -> anti-join -> merge
         # (O9/O2). Two discovery flows share ONE resolution pipeline
         # (canon.resolve_discoveries: JVM rlike fast path, pandas UDF
-        # for the slow minority):
+        # for the slow minority) AND one round-file scan:
         # - anchor links of 200 responses, in (fetch_rank, pos) order;
         # - 3xx Location headers, resolved against the REQUEST url
-        #   exactly like a relative href (pos=-1: a redirect page has
-        #   no links, so the slot before pos 0 keeps per-parent order
-        #   well-defined). depth+1 per hop — redirect chains consume
-        #   depth like link chains, so trap/depth rules bound them and
-        #   the frontier anti-join (O2) terminates redirect cycles.
+        #   exactly like a relative href. A redirect row explodes its
+        #   single-element array(location) in place of links (a 3xx
+        #   has no links, so per-parent ordering stays well-defined
+        #   and the global (fetch_rank, pos) order matches the oracle).
+        # depth+1 per hop — redirect chains consume depth like link
+        # chains, so trap/depth rules bound them and the frontier
+        # anti-join (O2) terminates redirect cycles.
+        # NOT a union of two filtered scans: that shape re-read the
+        # round files and re-planned the merge, measured +70% on the
+        # links_merge stage at bench scale for an EMPTY redirect
+        # branch.
         from pompspark.canon import resolve_discoveries
 
-        link_src = round_df.filter(F.col("status") == 200).select(
+        is_redir = F.col("status").between(300, 399) & F.col(
+            "location"
+        ).isNotNull()
+        src = round_df.filter((F.col("status") == 200) | is_redir).select(
             "url", "depth", "fetch_rank",
-            F.posexplode("links").alias("pos", "href"),
+            F.posexplode(
+                F.when(F.col("status") == 200, F.col("links"))
+                .otherwise(F.array("location"))
+            ).alias("pos", "href"),
         )
-        redir_src = round_df.filter(
-            F.col("status").between(300, 399)
-            & F.col("location").isNotNull()
-        ).select(
-            "url", "depth", "fetch_rank",
-            F.lit(-1).alias("pos"), F.col("location").alias("href"),
-        )
-        disc = resolve_discoveries(
-            link_src.unionByName(redir_src)
-        ).select(
+        disc = resolve_discoveries(src).select(
             F.col("child").alias("url"),
             F.col("child_host").alias("host"),
             (F.col("depth") + 1).alias("depth"),
