@@ -367,7 +367,11 @@ class CrawlEngine:
             if fetched == 0:
                 if self.max_retries and self._has_pending_retries():
                     idle += 1
-                    if idle > self.retry_delay_rounds:
+                    # per-url Retry-After cool-downs can exceed the
+                    # global default — bound idling by the LONGEST
+                    # pending cool-down, not just retry_delay_rounds
+                    if idle > max(self.retry_delay_rounds,
+                                  self._max_pending_retry_delay()):
                         # every pending retry's cool-down elapsed during
                         # the idle run and a fully-eligible round STILL
                         # fetched nothing — the retries are permanently
@@ -393,6 +397,18 @@ class CrawlEngine:
             F.max_by("state", "round").alias("s")
         )
         return bool(latest.filter(F.col("s") == "retry").limit(1).count())
+
+    def _max_pending_retry_delay(self) -> int:
+        """Longest per-url Retry-After cool-down (rounds) among urls
+        whose LATEST state is retry; 0 if none carry one. Only called
+        on the rare all-idle path — one aggregate over the (small,
+        between-compactions) transition table."""
+        t = self.cat.read("frontier_state")
+        row = t.groupBy("url_hash", "url").agg(
+            F.max_by("state", "round").alias("s"),
+            F.max_by("retry_delay", "round").alias("d"),
+        ).filter(F.col("s") == "retry").agg(F.max("d").alias("m")).head()
+        return int(row.m or 0)
 
     def run_round(self, round_budget: int | None = None) -> int:
         """One round: dequeue -> fetch/extract -> sinks -> merge.
@@ -509,6 +525,11 @@ class CrawlEngine:
             fetched = fetched.withColumn(
                 "location", F.lit(None).cast("string")
             )
+        if "retry_after" not in fetched.columns:
+            # custom fetchers predating Retry-After support
+            fetched = fetched.withColumn(
+                "retry_after", F.lit(None).cast("double")
+            )
 
         # ONE materialization per round: the fetch/extract output is
         # written exactly once — as the fetch_log data files, with the
@@ -556,6 +577,13 @@ class CrawlEngine:
             )
             .otherwise(F.lit("error")).alias("state"),
             (F.col("attempt") + 1).cast("int").alias("attempt"),
+            # a 5xx Retry-After header (seconds) overrides the global
+            # retry_delay_rounds for THIS url's cool-down: rounds =
+            # ceil(seconds / round_seconds), consulted by queued()
+            F.when(
+                (F.col("status") >= 500) & F.col("retry_after").isNotNull(),
+                F.ceil(F.col("retry_after") / F.lit(float(self.round_seconds))),
+            ).cast("int").alias("retry_delay"),
         )
         if self.pipelines or not self._dir_layout:
             # pipelines may transform/filter ITEMS only — the crawl
@@ -619,7 +647,8 @@ class CrawlEngine:
             lap("trace_append")
             self.cat.append(
                 "frontier_state",
-                round_df.select("url_hash", "url", "state", "round", "attempt"),
+                round_df.select("url_hash", "url", "state", "round",
+                                "attempt", "retry_delay"),
             )
             lap("mark_state")
         else:

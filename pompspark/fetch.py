@@ -31,7 +31,7 @@ from pompspark.extract import register_extract_udf
 
 # batch columns in, response columns appended
 RESPONSE_COLS = ["status", "warc_ts", "html", "text", "links", "error",
-                 "location"]
+                 "location", "retry_after"]
 
 
 class SimulatedFetcher:
@@ -76,10 +76,13 @@ class SimulatedFetcher:
         # failures, from FrontierStore.queued) decides the outcome.
         flaky = "flaky_fails" in self.pages.columns
         redir = "redirect_to" in self.pages.columns
+        # optional Retry-After header on 5xx answers (seconds)
+        ra = "retry_after_s" in self.pages.columns
         page_cols = (
             ["warc_ts", "html"]
             + (["flaky_fails"] if flaky else [])
             + (["redirect_to"] if redir else [])
+            + (["retry_after_s"] if ra else [])
         )
         pages = self.pages.select(
             F.col("url").alias("__p_url"), *page_cols
@@ -140,6 +143,11 @@ class SimulatedFetcher:
                 else F.lit(None).cast("string"),
             )
             .withColumn(
+                "retry_after",
+                F.when(status >= 500, F.col("retry_after_s")) if ra
+                else F.lit(None).cast("double"),
+            )
+            .withColumn(
                 "error",
                 F.when(ok | (status == 301) | (status == 304),
                        F.lit(None).cast("string"))
@@ -148,6 +156,7 @@ class SimulatedFetcher:
             .drop("e", "html", *(
                 (["flaky_fails"] if flaky else [])
                 + (["redirect_to"] if redir else [])
+                + (["retry_after_s"] if ra else [])
                 + (["__ims"] if self.validators is not None else [])
             ))
         )
@@ -170,6 +179,7 @@ class SimulatedFetcher:
             .withColumn("text", F.lit(None).cast("string"))
             .withColumn("links", F.array().cast("array<string>"))
             .withColumn("location", F.lit(None).cast("string"))
+            .withColumn("retry_after", F.lit(None).cast("double"))
             .withColumn("error", F.lit("not_found"))
         )
         return hits.unionByName(misses.select(*hits.columns))
@@ -224,6 +234,7 @@ class HttpFetcher:
                 T.StructField("links", T.ArrayType(T.StringType())),
                 T.StructField("error", T.StringType()),
                 T.StructField("location", T.StringType()),
+                T.StructField("retry_after", T.DoubleType()),
             ]
         )
 
@@ -251,6 +262,10 @@ class HttpFetcher:
             # older transport without the column yields all-null)
             b["location"] = resp.get(
                 "location", pd.Series([None] * len(b), index=b.index)
+            )
+            # Retry-After seconds on 5xx (engine converts to rounds)
+            b["retry_after"] = resp.get(
+                "retry_after", pd.Series([None] * len(b), index=b.index)
             )
             b["n_bytes"] = b["html"].map(lambda h: len(h) if h is not None else 0)
             ext = extract_frame(b["html"].where(b["status"] == 200, None))

@@ -550,6 +550,9 @@ class FrontierStore:
             T.StructField("state", T.StringType()),
             T.StructField("round", T.IntegerType()),
             T.StructField("attempt", T.IntegerType()),
+            # per-url retry cool-down in rounds (5xx Retry-After);
+            # null -> the engine-wide retry_delay_rounds default
+            T.StructField("retry_delay", T.IntegerType()),
         ])
         cat.create("frontier", schemas.FRONTIER)
         cat.create("frontier_state", self._state_schema)
@@ -745,6 +748,10 @@ class FrontierStore:
             F.max("round").alias("__last_round"),
             F.sum(F.when(F.col("state") == "retry", 1).otherwise(0))
             .cast("int").alias("__n_retry"),
+            # the LATEST transition's Retry-After cool-down (null on
+            # non-retry rows — only consulted when last state is retry,
+            # and that row is by definition the latest)
+            F.max_by("retry_delay", "round").alias("__retry_delay"),
         )
         if small:
             # keep the full frontier un-shuffled: transitions between
@@ -762,7 +769,8 @@ class FrontierStore:
         if current_round is not None:
             retry_ok = retry_ok & (
                 F.lit(current_round) - F.col("__last_round")
-                >= F.lit(retry_delay_rounds)
+                >= F.coalesce(F.col("__retry_delay"),
+                              F.lit(retry_delay_rounds))
             )
         eligible = F.col("__last_state").isNull() | retry_ok
         return (

@@ -93,6 +93,10 @@ class OracleCrawl:
     # discoveries; mirrors SimulatedFetcher(validators=...) where the
     # page's warc_ts <= the epoch's if_modified_since validator.
     not_modified: set[str] | None = None
+    # per-url Retry-After cool-down in ROUNDS (5xx Retry-After header,
+    # already divided by round_seconds); missing urls use
+    # retry_delay_rounds. Mirrors frontier.queued()'s per-row coalesce.
+    retry_after_rounds: dict[str, int] | None = None
     max_retries: int = 0
     retry_delay_rounds: int = 1
     max_rounds: int = 10_000
@@ -164,7 +168,9 @@ class OracleCrawl:
                 e for e in self.entries.values()
                 if e.state == "queued"
                 or (e.state == "retry"
-                    and rnd - e.retry_round >= self.retry_delay_rounds)
+                    and rnd - e.retry_round
+                    >= (self.retry_after_rounds or {}).get(
+                        e.url, self.retry_delay_rounds))
             ]
             if not queued:
                 if any(e.state == "retry" for e in self.entries.values()):
