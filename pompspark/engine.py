@@ -133,6 +133,7 @@ class CrawlEngine:
         compact_every: int = 8,
         max_retries: int = 0,
         retry_delay_rounds: int = 1,
+        max_retry_delay_rounds: int = 100,
         use_seen_filter: bool = False,
         seen_shards: int = 16,
         seen_capacity_per_shard: int = 1_000_000,
@@ -163,6 +164,10 @@ class CrawlEngine:
         self.compact_every = compact_every
         self.max_retries = max_retries
         self.retry_delay_rounds = retry_delay_rounds
+        # cap on a server-supplied Retry-After cool-down, in rounds
+        # (a day-long header must not park the idle loop for 86k
+        # rounds; real crawlers clamp to minutes)
+        self.max_retry_delay_rounds = max_retry_delay_rounds
         self.banded_dequeue = banded_dequeue
         # tier-crawl seam (graph.tier_priority_transform): every batch
         # of FRONTIER rows (seeds + merged discoveries) passes through
@@ -579,10 +584,17 @@ class CrawlEngine:
             (F.col("attempt") + 1).cast("int").alias("attempt"),
             # a 5xx Retry-After header (seconds) overrides the global
             # retry_delay_rounds for THIS url's cool-down: rounds =
-            # ceil(seconds / round_seconds), consulted by queued()
+            # ceil(seconds / round_seconds), consulted by queued().
+            # Clamped: a hostile 'Retry-After: 86400' must not make the
+            # idle loop spin 86k empty rounds (the clamp also kills the
+            # long->int wrap an absurd header value would cause).
             F.when(
                 (F.col("status") >= 500) & F.col("retry_after").isNotNull(),
-                F.ceil(F.col("retry_after") / F.lit(float(self.round_seconds))),
+                F.least(
+                    F.ceil(F.col("retry_after")
+                           / F.lit(float(self.round_seconds))),
+                    F.lit(int(self.max_retry_delay_rounds)),
+                ),
             ).cast("int").alias("retry_delay"),
         )
         if self.pipelines or not self._dir_layout:
@@ -606,6 +618,10 @@ class CrawlEngine:
             else:
                 if not self.cat.exists("round_scratch"):
                     self.cat.create("round_scratch", round_out.schema)
+                elif hasattr(self.cat, "evolve_schema"):
+                    # resumed pre-upgrade catalog: widen the stored
+                    # scratch schema for newer working columns
+                    self.cat.evolve_schema("round_scratch", round_out.schema)
                 v = self.cat.overwrite("round_scratch", round_out)
                 round_df = self.cat.read("round_scratch")
                 round_files = None

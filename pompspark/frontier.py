@@ -537,8 +537,6 @@ class FrontierStore:
     The index is derived state: rebuilt from the frontier table on
     resume/rollback or whenever the version marker mismatches."""
 
-    STATE_SCHEMA = "url_hash long, url string, state string, round int, attempt int"
-
     def __init__(self, cat: Catalog, index_buckets: int = 32,
                  use_index: bool = True):
         self.cat = cat
@@ -556,6 +554,12 @@ class FrontierStore:
         ])
         cat.create("frontier", schemas.FRONTIER)
         cat.create("frontier_state", self._state_schema)
+        # resuming a catalog checkpointed before newer state columns
+        # existed (e.g. retry_delay): widen the STORED schema, else
+        # schema-on-read prunes the column and queued()/compact()
+        # reference an unresolvable name. No-op when current.
+        if hasattr(cat, "evolve_schema"):
+            cat.evolve_schema("frontier_state", self._state_schema)
         self.use_index = use_index
         self.index_buckets = index_buckets
         if use_index:

@@ -108,59 +108,73 @@ def canonical_link_href(html_col: Column) -> Column:
     return F.when(got != "", got)
 
 
-def canonical_consolidate(
+def canonical_groups(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
-    """Canonical-URL dedup (the index-consolidation rule every corpus
-    build applies before content dedup): pages declaring the same
-    rel=canonical target collapse to one representative.
+    """SLIM canonical grouping: (url, canonical_url,
+    is_canonical_rep) — one row per page, nothing else.
 
-    Appends:
-    - ``canonical_url``: the resolved canonical target (self for pages
-      without the tag or with an unresolvable href);
-    - ``is_canonical_rep``: true for the group's representative —
-      the page whose url IS the target when fetched, else the
+    - ``canonical_url``: the resolved rel=canonical target (self for
+      pages without the tag or with an unresolvable href);
+    - ``is_canonical_rep``: true for the group's representative — the
+      page whose url IS the target when fetched, else the
       lexicographically first url (deterministic without needing the
       target fetched).
 
-    Plan: href extraction + resolution are map-side (regexp + the
-    shared canon fast path); the only shuffle is the groupBy on
-    canonical_url carrying (canonical_url, url) pairs — text and html
-    never move. Self-canonical pages (the overwhelming majority on a
-    real crawl) could skip the shuffle with a canonical_url == url
-    pre-filter; kept simple here because the pair shuffle is 2 small
-    strings per row.
+    This is the 10^10-scale shape: href extraction + resolution are
+    map-side (regexp + the shared canon fast path) over a
+    (url, html)-pruned scan, and the ONLY shuffle is the group window
+    over (canonical_url, url) pairs — two short strings per page.
+    Page bodies never enter any Exchange. Callers keep html in place
+    and filter by a semi-join on the rep set (or use
+    ``canonical_consolidate`` for the convenience join-back form).
     """
+    from pyspark.sql import Window as W
+
     from pompspark.canon import resolve_discoveries
 
-    with_href = pages.withColumn(
-        "__href", canonical_link_href(F.col(html_col))
+    slim = pages.select(
+        F.col(url_col).alias("url"),
+        canonical_link_href(F.col(html_col)).alias("__href"),
     )
-    tagged = with_href.filter(F.col("__href").isNotNull())
-    untagged = with_href.filter(F.col("__href").isNull()).withColumn(
-        "canonical_url", F.col(url_col)
+    tagged = slim.filter(F.col("__href").isNotNull())
+    untagged = slim.filter(F.col("__href").isNull()).withColumn(
+        "canonical_url", F.col("url")
     )
     resolved = resolve_discoveries(
-        tagged, href_col="__href", base_col=url_col
+        tagged, href_col="__href", base_col="url"
     ).withColumn(
         "canonical_url", F.col("child")
     ).drop("child", "child_host")
     # unresolvable hrefs (mailto:, garbage) fell out of resolve_
     # discoveries — re-admit those pages as self-canonical
     dropped = tagged.join(
-        resolved.select(F.col(url_col).alias("__r_url")),
-        tagged[url_col] == F.col("__r_url"), "left_anti",
-    ).withColumn("canonical_url", F.col(url_col))
+        resolved.select(F.col("url").alias("__r_url")),
+        tagged["url"] == F.col("__r_url"), "left_anti",
+    ).withColumn("canonical_url", F.col("url"))
     all_rows = untagged.unionByName(resolved).unionByName(dropped)
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("canonical_url").orderBy(
         # the target itself (if present in the group) beats url order
-        (F.col(url_col) != F.col("canonical_url")).cast("int"),
-        F.col(url_col),
+        (F.col("url") != F.col("canonical_url")).cast("int"),
+        F.col("url"),
     )
-    return (
-        all_rows.withColumn(
-            "is_canonical_rep", F.row_number().over(w) == 1
-        ).drop("__href")
+    return all_rows.select(
+        "url", "canonical_url",
+        (F.row_number().over(w) == 1).alias("is_canonical_rep"),
+    )
+
+
+def canonical_consolidate(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Convenience form: ``canonical_groups`` joined back onto the full
+    page rows (appends canonical_url + is_canonical_rep).
+
+    The join-back keys on url, so the page side shuffles ONCE unless
+    the source is already bucketed/partitioned by url — at corpus
+    scale prefer ``canonical_groups`` directly and semi-join the rep
+    set against url-keyed storage so bodies never move."""
+    groups = canonical_groups(pages, url_col=url_col, html_col=html_col)
+    return pages.join(
+        groups.withColumnRenamed("url", url_col), url_col, "inner"
     )

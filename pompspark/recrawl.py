@@ -58,6 +58,10 @@ def revisit_schedule(
       shuffles), so a 304-after-200 reads as unchanged instead of
       comparing a null body against real text;
     - anything else (3xx/4xx/5xx): no content observation — excluded.
+    - a 200 following a 304 chain with NO earlier 200 in the supplied
+      history reads as CHANGED (an If-Modified-Since 200 answer means
+      modified-since-validator); a latest 304 always reads unchanged.
+      ``changed`` is always 0/1, never null.
     """
     halved = max(min_interval, base_interval // 2)
     doubled = min(max_interval, base_interval * 2)
@@ -74,6 +78,8 @@ def revisit_schedule(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         src = src.withColumn(
+            "__is304", F.col("__fp_raw").isNull()
+        ).withColumn(
             "__fp", F.last("__fp_raw", ignorenulls=True).over(ffill)
         ).drop("__fp_raw")
     else:
@@ -81,7 +87,7 @@ def revisit_schedule(
             F.col(url_col).alias("url"),
             F.col(round_col).alias("round"),
             F.xxhash64(F.col(text_col)).alias("__fp"),
-        )
+        ).withColumn("__is304", F.lit(False))
     w = Window.partitionBy("url").orderBy(F.col("round").desc())
     ranked = (
         src
@@ -92,9 +98,20 @@ def revisit_schedule(
         F.max(F.when(F.col("__rn") == 1, F.col("round"))).alias("last_round"),
         F.max(F.when(F.col("__rn") == 1, F.col("__fp"))).alias("__fp1"),
         F.max(F.when(F.col("__rn") == 2, F.col("__fp"))).alias("__fp2"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__is304").cast("int")))
+        .alias("__latest304"),
         F.count("*").alias("__n"),
     )
-    changed = (F.col("__n") >= 2) & (F.col("__fp1") != F.col("__fp2"))
+    # Null-safe change rule: a latest 304 is the server ASSERTING
+    # unchanged; a latest 200 compares fingerprints null-safely — so a
+    # 200 whose predecessor is a 304 chain with no earlier 200 in the
+    # supplied history (fp2 NULL) reads as CHANGED (an If-Modified-
+    # Since 200 answer means modified-since-validator), never NULL.
+    changed = (
+        (F.col("__n") >= 2)
+        & (F.col("__latest304") == 0)
+        & ~F.col("__fp1").eqNullSafe(F.col("__fp2"))
+    )
     interval = (
         F.when(F.col("__n") < 2, F.lit(base_interval))
         .when(changed, F.lit(halved))

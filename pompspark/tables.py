@@ -211,6 +211,40 @@ class Catalog:
             "version": 1, "dirs": [], "op": "create", "schema": schema.json(),
         })
 
+    def evolve_schema(self, table: str, schema: T.StructType) -> bool:
+        """Widen a table's stored schema with appended NULLABLE columns
+        (the Iceberg add-column analog): commits a new snapshot with
+        the same dirs + the new schema. Old data files simply lack the
+        new columns — schema-on-read fills them with null. Returns
+        True if a commit happened, False if the schema already covers
+        every requested field. Narrowing/retyping is refused (that
+        would silently hide data)."""
+        import json as _json
+
+        prev = self._read_snapshot(table, self.current_version(table))
+        stored = T.StructType.fromJson(_json.loads(prev["schema"]))
+        have = {f.name: f.dataType for f in stored.fields}
+        missing = [f for f in schema.fields if f.name not in have]
+        for f in schema.fields:
+            if f.name in have and have[f.name] != f.dataType:
+                raise ValueError(
+                    f"evolve_schema({table}): field {f.name} exists with "
+                    f"type {have[f.name]}, requested {f.dataType}"
+                )
+        if not missing:
+            return False
+        new = T.StructType(
+            list(stored.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in missing]
+        )
+        self._commit(table, {
+            "version": prev["version"] + 1, "dirs": prev["dirs"],
+            "op": "evolve_schema", "schema": new.json(),
+            "partition_by": prev.get("partition_by"),
+            **self._carry_filters(prev),
+        })
+        return True
+
     def _write_data_dir(self, table: str, df: DataFrame, version: int,
                         partition_by: list[str] | None = None) -> str:
         rel = f"data/d-{version:08d}"

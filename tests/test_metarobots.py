@@ -128,3 +128,20 @@ def test_canonical_consolidation_representative(spark):
     assert got["http://a.example/solo"].is_canonical_rep
     reps = [r for r in got.values() if r.is_canonical_rep]
     assert len(reps) == 3
+
+
+def test_canonical_groups_plan_is_body_free(spark):
+    """The slim path's Exchanges must never carry html: the only
+    shuffled columns are the (url, canonical_url) pair (r5 review —
+    the first cut windowed the FULL page rows, shipping every body)."""
+    from pompspark.metarobots import canonical_groups
+
+    df = spark.createDataFrame(
+        [("http://a.example/p", b"<link rel=canonical href=/c>")],
+        "url string, html binary",
+    )
+    plan = canonical_groups(df)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "html" not in m.group(0), m.group(0)

@@ -214,3 +214,69 @@ def test_row_count_fallback_unpartitioned_filtered_dir(spark, tmp_path):
     assert got == [(1, "fetched"), (2, "fetched")]
     # read() and row_count must agree (pre-fix: row_count said 3)
     assert cat.row_count("t") == 2
+
+
+def test_evolve_schema_widens_and_null_fills(spark, tmp_path):
+    """Appended nullable columns (the Iceberg add-column analog):
+    old data files null-fill on read; retypes are refused."""
+    import pyspark.sql.types as T
+
+    from pompspark.tables import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "evo"))
+    old = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ])
+    cat.create("t", old)
+    cat.append("t", spark.createDataFrame([(1, "x")], old))
+    new = T.StructType(
+        list(old.fields) + [T.StructField("c", T.IntegerType())]
+    )
+    assert cat.evolve_schema("t", new) is True
+    assert cat.evolve_schema("t", new) is False  # idempotent no-op
+    rows = cat.read("t").collect()
+    assert rows[0].c is None and rows[0].a == 1
+    cat.append("t", spark.createDataFrame([(2, "y", 7)], new))
+    got = {r.a: r.c for r in cat.read("t").collect()}
+    assert got == {1: None, 2: 7}
+    import pytest as _pytest
+
+    bad = T.StructType([T.StructField("a", T.StringType())])
+    with _pytest.raises(ValueError):
+        cat.evolve_schema("t", bad)
+
+
+def test_frontier_state_migration_on_resume(spark, tmp_path):
+    """A workdir checkpointed BEFORE retry_delay existed must open
+    cleanly: the stored 5-column frontier_state schema widens on
+    FrontierStore init and old retry rows read with a null cool-down
+    (engine default applies)."""
+    import pyspark.sql.types as T
+
+    from pompspark.engine import simulated_engine
+    from pompspark.fixtures import small_pages_df
+    from pompspark.tables import Catalog
+
+    wd = str(tmp_path / "oldcat")
+    old_state = T.StructType([
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("attempt", T.IntegerType()),
+    ])
+    cat = Catalog(spark, wd)
+    cat.create("frontier_state", old_state)
+    cat.append("frontier_state", spark.createDataFrame(
+        [(12345, "http://a.example/p9", "retry", 1, 1)], old_state))
+
+    eng = simulated_engine(spark, wd, small_pages_df(spark),
+                           max_retries=1, retry_delay_rounds=1)
+    df = eng.cat.read("frontier_state")
+    assert "retry_delay" in df.columns
+    assert df.collect()[0].retry_delay is None
+    # the queued() fold (max_by over retry_delay) must resolve and the
+    # compaction select must not crash on the widened table
+    eng.store.queued(current_round=5).count()
+    eng.store.compact()
