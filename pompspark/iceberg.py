@@ -118,6 +118,32 @@ class IcebergCatalog:
         empty = self.spark.createDataFrame([], schema)
         empty.writeTo(self._qual(table)).create()
 
+    def evolve_schema(self, table: str, schema: T.StructType) -> bool:
+        """Widen with appended nullable columns (Iceberg native schema
+        evolution: ALTER TABLE ... ADD COLUMNS). Returns True if any
+        column was added; refuses retypes like the parquet Catalog."""
+        current = {
+            f.name: f.dataType
+            for f in self.spark.table(self._qual(table)).schema.fields
+        }
+        missing = [f for f in schema.fields if f.name not in current]
+        for f in schema.fields:
+            if f.name in current and current[f.name] != f.dataType:
+                raise ValueError(
+                    f"evolve_schema({table}): field {f.name} exists with "
+                    f"type {current[f.name]}, requested {f.dataType}"
+                )
+        if not missing:
+            return False
+        cols = ", ".join(
+            f"{_ident_ok(f.name)} {f.dataType.simpleString()}"
+            for f in missing
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self._qual(table)} ADD COLUMNS ({cols})"
+        )
+        return True
+
     def append(self, table: str, df: DataFrame,
                partition_by: list[str] | None = None) -> int:
         # Iceberg partitioning is a table property fixed at creation;
@@ -267,6 +293,7 @@ _CATALOG_SURFACE: tuple[str, ...] = (
     "exists", "create", "current_version", "append", "overwrite",
     "append_rows", "replace_partition", "read", "row_count",
     "rollback", "snapshot_ids", "compact", "append_dir", "append_with",
+    "evolve_schema",
 )
 
 
