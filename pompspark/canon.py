@@ -224,13 +224,31 @@ def resolve_discoveries(src, href_col: str = "href", base_col: str = "url"):
     from pyspark.sql import functions as F
 
     _, canon_base_udf, host_udf = register_udfs()
+    # r6 (guide §4.4): the callers filter on these UDFs' outputs
+    # (child/child_host isNotNull), and the optimizer duplicates a
+    # deterministic UDF below each pushed filter — the before-plan
+    # (plans/r06/bench_links_merge_before.txt) shows FOUR
+    # ArrowEvalPython nodes over the exploded link stream, i.e. every
+    # row paid both UDFs twice. Marking them non-deterministic forbids
+    # the duplication (they are pure functions — results unchanged)
+    # and the plan drops to one evaluation of each.
+    canon_base_udf = canon_base_udf.asNondeterministic()
+    host_udf = host_udf.asNondeterministic()
     is_fast = F.col(href_col).rlike(CANONICAL_PATTERN)
     slow_href = F.when(is_fast, F.lit(None).cast("string")).otherwise(
         F.col(href_col)
     )
+    # fast rows ship NULL for the base too: canonicalize_series never
+    # reads the base of a null href, and nulling it keeps the Arrow
+    # transfer to the Python worker at O(slow rows) instead of shipping
+    # every parent url of the (dominant) fast majority (guide §4.1:
+    # pass only the columns/bytes the function needs).
+    slow_base = F.when(is_fast, F.lit(None).cast("string")).otherwise(
+        F.col(base_col)
+    )
     child = F.coalesce(
         F.when(is_fast, F.col(href_col)),
-        canon_base_udf(slow_href, F.col(base_col)),
+        canon_base_udf(slow_href, slow_base),
     )
     return (
         src.withColumn("__fast", is_fast)

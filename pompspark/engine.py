@@ -179,6 +179,13 @@ class CrawlEngine:
         self.store = FrontierStore(
             self.cat, index_buckets=index_buckets, use_index=use_bucketed_index
         )
+        # running frontier row count (footer-derived at init, then
+        # maintained from append deltas — zero extra Spark jobs): the
+        # dequeue's scale-adaptive salt pre-rank gate (frontier.py
+        # SALT_PRERANK_MIN_ROWS) needs an upper bound on queued rows.
+        self._frontier_rows = (
+            self.cat.row_count("frontier") if self.cat.exists("frontier") else 0
+        )
         self.cat.create("fetch_log", schemas.FETCH_LOG)
         self.cat.create("metrics", schemas.METRICS)
         self.cat.create("checkpoint", schemas.CHECKPOINT)
@@ -230,6 +237,7 @@ class CrawlEngine:
                                robots_rows=self.robots_rows)
         rows = self._transform_frontier(rows)
         _n, seeded = self.store.append_delta(rows)
+        self._frontier_rows += _n
         if seeded is not None:
             if self.store.use_index:
                 self.store.index_append(seeded)
@@ -301,6 +309,7 @@ class CrawlEngine:
         ).select(*FRONTIER_COLS)
         rows = self._transform_frontier(rows)
         n_new, seeded = self.store.append_delta(rows)
+        self._frontier_rows += n_new
         if seeded is not None:
             if self.store.use_index:
                 self.store.index_append(seeded)
@@ -335,6 +344,7 @@ class CrawlEngine:
         for t, v in row.snapshot_ids.items():
             self.cat.rollback(t, v)
         self.round = row.round
+        self._frontier_rows = self.cat.row_count("frontier")
         if self.store.use_index:
             # the bucketed merge index may be a SUPERSET of the rolled-
             # back frontier (appends after the checkpoint) — a stale
@@ -447,6 +457,7 @@ class CrawlEngine:
             raw, n_dequeued, self.last_bands_read = dequeue_banded(
                 self.store, self.robots_df, ordering=self.ordering,
                 robots_rows=self.robots_rows,
+                n_queued_hint=self._frontier_rows,
                 per_round_budget=round_budget or self.per_round_budget,
                 per_host_budget=self.per_host_budget,
                 round_seconds=self.round_seconds,
@@ -466,6 +477,7 @@ class CrawlEngine:
                 per_round_budget=round_budget or self.per_round_budget,
                 per_host_budget=self.per_host_budget,
                 round_seconds=self.round_seconds,
+                n_queued_hint=self._frontier_rows,
             )
             raw = raw.persist()
             n_dequeued = frontier_mod.materialize_batch(raw)
@@ -750,6 +762,7 @@ class CrawlEngine:
         # METADATA (parquet footers / Iceberg snapshot summary), not a
         # separate .count() action.
         n_new, new_back = self.store.append_delta(new_rows)
+        self._frontier_rows += n_new
         lap("links_merge")
         if n_new:
             if self.store.use_index:

@@ -106,6 +106,58 @@ def register_extract_udf():
     return extract_udf
 
 
+def extract_attach_arrow(df, html_col: str = "html"):
+    """Append ``text``/``links`` extracted from ``html_col`` and DROP
+    the html column — pyarrow-native ``mapInArrow`` (r6, guide §4.2).
+
+    Vs the pandas_udf column path this skips the Arrow->pandas->Arrow
+    conversion layers on both sides (binary Series materialization in,
+    object-Series-of-lists to list<string> out); measured ~2.7 s/round
+    at bench scale on identical output (bench/fetch_boundary_ab.py:
+    pandas 15.6-16.4 s vs arrow 13.2-13.4 s on the same joined hits).
+    NULL html rows yield text=NULL, links=[] — exactly the pandas
+    path's ``when(ok, ...)`` gating when the caller nulls html for
+    non-200 rows. Remains a narrow map op: fuses into the caller's
+    scan/join stage, no exchange."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    keep = [f for f in df.schema.fields if f.name != html_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("text", T.StringType()),
+            T.StructField("links", T.ArrayType(T.StringType())),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def gen(batches):
+        for rb in batches:
+            texts: list = []
+            links: list = []
+            for h in rb.column(html_col):
+                hv = h.as_py()
+                if hv is None:
+                    texts.append(None)
+                    links.append([])
+                else:
+                    t, l = ref_extract(hv)
+                    texts.append(t)
+                    links.append(l)
+            cols = [rb.column(n) for n in keep_names]  # zero-copy
+            yield pa.RecordBatch.from_arrays(
+                cols
+                + [
+                    pa.array(texts, type=pa.string()),
+                    pa.array(links, type=pa.list_(pa.string())),
+                ],
+                names=keep_names + ["text", "links"],
+            )
+
+    return df.mapInArrow(gen, schema=out_schema)
+
+
 def extract_map_in_pandas(df, html_col: str = "html"):
     """mapInPandas variant for when the whole row flows through Python
     anyway (e.g. a real HTTP fetch stage on a cluster). Preserves all

@@ -27,8 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pompspark.extract import register_extract_udf
-
 # batch columns in, response columns appended
 RESPONSE_COLS = ["status", "warc_ts", "html", "text", "links", "error",
                  "location", "retry_after"]
@@ -130,13 +128,23 @@ class SimulatedFetcher:
                 F.col("redirect_to").isNotNull(), F.lit(301)
             ).otherwise(status)
         ok = status == 200
-        ext = register_extract_udf()
-        hits = (
-            hits_raw.withColumn("e", ext(F.when(ok, F.col("html"))))
-            .withColumn("status", status)
+        # r6 (guide §4.2): everything EXCEPT the extraction stays JVM
+        # (status/error/byte-count logic), then ONE pyarrow-native
+        # mapInArrow attaches text+links and drops html. The html of
+        # non-200 rows is nulled BEFORE the boundary, so failed rows
+        # ship a null bitmap instead of 30 KB bodies, and the
+        # passthrough columns (~150 B/row) ride zero-copy next to the
+        # one heavy column. Output identical to the previous
+        # pandas_udf column path (text NULL / links [] off the ok
+        # path); measured ~2.7 s/round cheaper at bench scale
+        # (bench/fetch_boundary_ab.py). Still a narrow map: fuses into
+        # the scan/join stage, no exchange.
+        from pompspark.extract import extract_attach_arrow
+
+        pre = (
+            hits_raw.withColumn("status", status)
             .withColumn("n_bytes", F.when(ok, F.octet_length("html")).otherwise(0).cast("long"))
-            .withColumn("text", F.when(ok, F.col("e.text")))
-            .withColumn("links", F.when(ok, F.col("e.links")).otherwise(F.array().cast("array<string>")))
+            .withColumn("__html_ok", F.when(ok, F.col("html")))
             .withColumn(
                 "location",
                 F.col("redirect_to") if redir
@@ -153,13 +161,14 @@ class SimulatedFetcher:
                        F.lit(None).cast("string"))
                 .otherwise(F.lit("transient_503")),
             )
-            .drop("e", "html", *(
+            .drop("html", *(
                 (["flaky_fails"] if flaky else [])
                 + (["redirect_to"] if redir else [])
                 + (["retry_after_s"] if ra else [])
                 + (["__ims"] if self.validators is not None else [])
             ))
         )
+        hits = extract_attach_arrow(pre, "__html_ok")
         # IDENTICAL broadcast subtree to the hits join above -> Spark
         # reuses the built broadcast (ReusedExchange): one driver-side
         # collect+build per round instead of two (broadcast builds are

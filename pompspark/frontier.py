@@ -206,6 +206,29 @@ def materialize_batch(batch: DataFrame) -> int:
     return n
 
 
+# Queued-row count below which the level-1 (host, salt) pre-rank is
+# skipped (r6, guide §2.5): the pre-rank exists ONLY to defuse window
+# skew — a 10^8-row host would otherwise be sorted by one task in the
+# per-host window — and its survivors are a provable SUPERSET of the
+# per-host top-cap (per-(host,salt) rank <= per-host rank), so skipping
+# it never changes the result. Below this many queued rows even a
+# fully skewed host sorts in well under a second per task, and the
+# pre-rank is a pure extra Exchange+sort over the whole queued set
+# (measured ~1s/round at bench scale). Scale-adaptive: the engine
+# passes the frontier's footer row count; past the threshold the salt
+# level engages exactly as before. Env-overridable for clusters whose
+# skew profile differs.
+SALT_PRERANK_MIN_ROWS = 4_000_000
+
+
+def _salt_min_rows() -> int:
+    import os
+
+    return int(os.environ.get(
+        "POMPSPARK_SALT_MIN_ROWS", str(SALT_PRERANK_MIN_ROWS)
+    ))
+
+
 def dequeue(
     queued: DataFrame,
     robots_df: DataFrame,
@@ -215,9 +238,15 @@ def dequeue(
     round_seconds: float = 1.0,
     parallel_topk_threshold: int = 50_000,
     robots_rows: int | None = None,
+    n_queued_hint: int | None = None,
 ) -> DataFrame:
     """O3: the politeness-budgeted top-k. Returns the fetch batch with
     ``fetch_rank`` (0-based fetch order within the round).
+
+    ``n_queued_hint``: upper bound on the queued row count (the
+    engine's frontier footer count — zero Spark jobs). When provided
+    and small, the level-1 salt pre-rank is skipped (see
+    SALT_PRERANK_MIN_ROWS); None keeps the conservative two-level path.
 
     pomp analog: BaseQueue.get_requests(count=workers) — count here is
     per_round_budget; politeness caps are the [A] addition."""
@@ -236,14 +265,19 @@ def dequeue(
     df = df.filter(~F.col("disallowed"))
     cap = politeness_cap_col(per_host_budget, round_seconds)
 
-    # level 1: per-(host, salt) — defuses hot-host window skew.
-    w1 = Window.partitionBy("host", "salt").orderBy(*keys)
-    survivors = (
-        df.withColumn("cap", cap)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= F.col("cap"))
-    )
-    # level 2: exact per-host cap over the small survivor set.
+    use_salt = n_queued_hint is None or n_queued_hint >= _salt_min_rows()
+    if use_salt:
+        # level 1: per-(host, salt) — defuses hot-host window skew.
+        w1 = Window.partitionBy("host", "salt").orderBy(*keys)
+        survivors = (
+            df.withColumn("cap", cap)
+            .withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= F.col("cap"))
+        )
+    else:
+        survivors = df.withColumn("cap", cap)
+    # level 2: exact per-host cap (over the salt survivors, or the
+    # whole queued set when the pre-rank is skipped — same result).
     w2 = Window.partitionBy("host").orderBy(*keys)
     capped = (
         survivors.withColumn("rn2", F.row_number().over(w2))
@@ -285,6 +319,7 @@ def dequeue_banded(
     retry_enabled: bool = True,
     parallel_topk_threshold: int = 50_000,
     robots_rows: int | None = None,
+    n_queued_hint: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Band-pruned dequeue: read sort-key-prefix bands of the queued
     frontier in key order, growing the prefix geometrically, and STOP
@@ -320,6 +355,7 @@ def dequeue_banded(
             store.queued(current_round, retry_delay_rounds, retry_enabled),
             robots_df, ordering, per_round_budget, per_host_budget,
             round_seconds, parallel_topk_threshold, robots_rows,
+            n_queued_hint=n_queued_hint,
         )
         batch = batch.persist()
         n = materialize_batch(batch)
@@ -362,7 +398,7 @@ def dequeue_banded(
         batch = dequeue(
             eligible, robots_df, ordering, per_round_budget,
             per_host_budget, round_seconds, parallel_topk_threshold,
-            robots_rows,
+            robots_rows, n_queued_hint=n_queued_hint,
         )
         batch = batch.persist()
         n = materialize_batch(batch)
@@ -391,22 +427,55 @@ def dedup_discoveries(discoveries: DataFrame) -> DataFrame:
     """First occurrence (by fetch_rank, pos) wins within one round's
     link batch — matches the oracle's in-order _admit.
 
-    groupBy + min(struct) instead of a row_number window: struct
-    comparison is lexicographic by field order, and (fetch_rank, pos)
-    is unique per (url, parent-row), so the min struct IS the first
-    occurrence with its depth/host riding along. Unlike a window, the
-    aggregate gets map-side partial aggregation — the shuffle carries
-    one row per (url, map-partition), not every duplicate link (link
-    batches are dup-heavy, the round's biggest shuffle)."""
-    first = F.min(
-        F.struct("fetch_rank", "pos", "depth", "host")
-    ).alias("f")
-    return discoveries.groupBy("url").agg(first).select(
+    groupBy + min instead of a row_number window: (fetch_rank, pos) is
+    unique per (url, parent-row), so the minimum IS the first
+    occurrence. Unlike a window, the aggregate gets map-side partial
+    aggregation — the shuffle carries one row per (url,
+    map-partition), not every duplicate link (link batches are
+    dup-heavy, the round's biggest shuffle).
+
+    r6 (guide §2.3/§7.2): ``min(struct(...))`` planned as
+    SortAggregate — a struct buffer is not HashAggregate-mutable — so
+    the exploded stream was SORTED twice (before the partial and after
+    the exchange; plans/r06/bench_links_merge_before.txt nodes 14-18).
+    The min now runs over ONE packed long
+    ``(fetch_rank << 39) | (pos << 18) | depth`` (widths 24+21+18 =
+    63 bits: rank < 2^24 enforced by dequeue's budget guard, pos <
+    2^21 and depth < 2^18 guarded here exactly like new_frontier_rows'
+    seq packing — same invariants, raised a step earlier), which IS
+    hash-aggregatable: both sorts disappear
+    (..._after.txt: SortAggregate -> HashAggregate). Ordering is
+    unchanged: (fetch_rank, pos) is unique per row, so the depth low
+    bits never decide a winner. ``host`` moves into the GROUP KEY —
+    host is a pure function of the url string (fast path:
+    regexp_extract of the canonical url; slow path: urlsplit hostname
+    of the same canonical url — identical for any url both paths can
+    produce), so grouping by (url, host) partitions rows exactly like
+    url alone."""
+    pos_ok = F.when(
+        (F.col("pos") < F.lit(MAX_POS)) & (F.col("depth") < F.lit(MAX_ROUND)),
+        F.col("pos").cast("long"),
+    ).otherwise(
+        F.raise_error(F.lit(
+            f"dedup packing overflow: pos >= {MAX_POS} or depth >= "
+            f"{MAX_ROUND} (same invariants as seq packing)"
+        )).cast("long")
+    )
+    packed = (
+        F.col("fetch_rank").cast("long") * F.lit(S_RANK * MAX_ROUND)
+        + pos_ok * F.lit(MAX_ROUND)
+        + F.col("depth").cast("long")
+    )
+    first = F.min(packed).alias("k")
+    # unpack with exact bit ops (39 = 21+18; a double division would
+    # lose bits past 2^53)
+    return discoveries.groupBy("url", "host").agg(first).select(
         "url",
-        F.col("f.host").alias("host"),
-        F.col("f.depth").alias("depth"),
-        F.col("f.fetch_rank").alias("fetch_rank"),
-        F.col("f.pos").alias("pos"),
+        "host",
+        F.col("k").bitwiseAND(F.lit(MAX_ROUND - 1)).cast("int").alias("depth"),
+        F.shiftright(F.col("k"), 39).alias("fetch_rank"),
+        F.shiftright(F.col("k"), 18).bitwiseAND(F.lit(S_RANK - 1))
+        .cast("int").alias("pos"),
     )
 
 

@@ -85,6 +85,21 @@ def build_spark(
             str(n_shuffle),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # r6: parquet default flipped snappy -> zstd (guide §6; env
+        # knob for A/B). The engine's round files are written AND
+        # fsynced inside the timed window, so output bytes are wall
+        # time. Measured on this host, one 120k-row round dir: zstd
+        # wrote FASTER (1.33 s vs 2.36 s — the repeated-body text
+        # compresses 233 MB -> 36 MB, and writing 6.5x fewer bytes
+        # beats the extra compress CPU) and the column-pruned
+        # read-back dropped 0.69 s -> 0.25 s; the html pages table
+        # likewise (730 -> 88 MB on a 200k-page sample, full-html
+        # scans 1.53 s -> 1.35 s). Same lever a real cluster wants:
+        # fewer bytes through NIC/disk at equal-or-less wall time.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python-worker crash forensics: without these a dead worker
         # reports only "exited unexpectedly (crashed)" (BENCH_r03's
