@@ -107,6 +107,11 @@ def main() -> None:
         use_bucketed_index=False,
         seen_shards=32,
         seen_capacity_per_shard=max(100_000, n_pages // 16),
+        # r6: compaction overlaps the next round's dequeue+fetch
+        # instead of sitting synchronously inside one round (the r5
+        # record's 25.3 s spike in a 74.7 s round); DEEP_ASYNC=0 for
+        # the synchronous control.
+        async_compact=os.environ.get("DEEP_ASYNC", "1") == "1",
     )
     t0 = time.monotonic()
     eng.seed(seeds)

@@ -242,7 +242,8 @@ def mode_explain():
                          retry_enabled=False)
     batch = dequeue(q, eng.robots_df, ordering="bfs",
                     robots_rows=eng.robots_rows, per_round_budget=BUDGET,
-                    per_host_budget=5000)
+                    per_host_budget=5000,
+                    n_queued_hint=eng._frontier_rows)
     dump(batch, "bench_dequeue")
     fetched = eng.fetcher.fetch(batch)
     dump(fetched, "bench_fetch_extract")

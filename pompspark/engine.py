@@ -143,6 +143,7 @@ class CrawlEngine:
         banded_dequeue: bool = False,
         catalog=None,
         frontier_transform: Callable[[DataFrame], DataFrame] | None = None,
+        async_compact: bool = False,
     ):
         self.spark = spark
         # ``catalog``: inject an alternative Catalog-surface backend
@@ -169,6 +170,24 @@ class CrawlEngine:
         # rounds; real crawlers clamp to minutes)
         self.max_retry_delay_rounds = max_retry_delay_rounds
         self.banded_dequeue = banded_dequeue
+        # r6 (guide §2.6, r5 verdict composed-mode finding: a 25.3 s
+        # synchronous compact inside a 74.7 s round): compaction runs
+        # on a background driver thread overlapping the NEXT round's
+        # dequeue + fetch, joined before that round's first state-table
+        # write. The frontier fold commits in the background (safe for
+        # concurrent readers: fold is redundant with the state
+        # anti-join); the frontier_state trim is deferred to the main
+        # thread at the join point so no reader can pair a pre-fold
+        # frontier with a post-trim state table (see
+        # FrontierStore.compact docstring). Off by default so that
+        # table contents observed right after a run_round() are
+        # deterministic (tests, ad-hoc callers); the composed-scale
+        # configuration (bench/deep_frontier.py) turns it on, and
+        # run() always joins the thread before returning.
+        self.async_compact = async_compact
+        self._compact_thread = None
+        self._compact_error: BaseException | None = None
+        self._compact_finish: Callable[[], None] | None = None
         # tier-crawl seam (graph.tier_priority_transform): every batch
         # of FRONTIER rows (seeds + merged discoveries) passes through
         # the transform before it is committed, so a host-authority
@@ -232,7 +251,52 @@ class CrawlEngine:
             ]
         )
 
+    def _join_compact(self) -> None:
+        """Wait for a background compaction (if any), surface its
+        error, and apply the deferred frontier_state trim on THIS
+        thread. Must be called before any frontier / frontier_state /
+        seen write, before a checkpoint (a checkpoint must never
+        snapshot a half-committed compaction pair), and before
+        resume/rollback."""
+        t = self._compact_thread
+        if t is None:
+            return
+        t.join()
+        self._compact_thread = None
+        if self._compact_error is not None:
+            err = self._compact_error
+            self._compact_error = None
+            self._compact_finish = None
+            raise err
+        fin = self._compact_finish
+        self._compact_finish = None
+        if fin is not None:
+            fin()
+
+    def _start_compact(self, band_col) -> None:
+        self._join_compact()  # at most one in flight
+        store, seen = self.store, self.seen_filter
+
+        def _run() -> None:
+            try:
+                self._compact_finish = store.compact(
+                    band_col=band_col, defer_state_trim=True
+                )
+                if seen is not None:
+                    seen.compact()
+            except BaseException as e:  # surfaced at the next join
+                self._compact_error = e
+
+        try:
+            from pyspark import InheritableThread as _T
+        except ImportError:  # pragma: no cover
+            from threading import Thread as _T
+        t = _T(target=_run, daemon=True)
+        t.start()
+        self._compact_thread = t
+
     def seed(self, seeds: list) -> int:
+        self._join_compact()
         rows = normalize_seeds(self.spark, seeds, self.robots_df, round_=0,
                                robots_rows=self.robots_rows)
         rows = self._transform_frontier(rows)
@@ -273,7 +337,12 @@ class CrawlEngine:
         from pompspark.robots import with_robots
 
         pri = SEED_PRIORITY if priority is None else float(priority)
+        self._join_compact()
         canon_udf, _, host_udf = register_udfs()
+        # stop the optimizer duplicating the UDFs below the pushed
+        # isNotNull filters (guide §4.4; same fix as resolve_discoveries)
+        canon_udf = canon_udf.asNondeterministic()
+        host_udf = host_udf.asNondeterministic()
         is_fast = F.col(url_col).rlike(CANONICAL_PATTERN)
         slow = F.when(is_fast, F.lit(None).cast("string")).otherwise(F.col(url_col))
         canon = F.coalesce(F.when(is_fast, F.col(url_col)), canon_udf(slow))
@@ -332,6 +401,7 @@ class CrawlEngine:
         """Roll every state table back to the last committed checkpoint
         (exact resume after a mid-round crash) and restore the round
         counter. Returns the restored round."""
+        self._join_compact()
         cp = (
             self.cat.read("checkpoint")
             .orderBy(F.col("round").desc())
@@ -399,11 +469,13 @@ class CrawlEngine:
                     # clock (their eligibility is round-based) and keep
                     # pumping — mirrors the oracle's idle round.
                     self.round += 1
+                    self._join_compact()
                     self._checkpoint(budget_left=0)
                     continue
                 break
             idle = 0
             budget -= fetched
+        self._join_compact()
         return self.cat.read("trace")
 
     def _has_pending_retries(self) -> bool:
@@ -505,6 +577,7 @@ class CrawlEngine:
                 & (raw["url"] == kept["__k_url"]),
                 "left_anti",
             )
+            self._join_compact()
             self.store.mark(dropped, F.lit("dropped"), r)
             batch = batch.persist()
             n_batch = batch.count()
@@ -664,6 +737,7 @@ class CrawlEngine:
         batch.unpersist()
         raw.unpersist()
 
+        self._join_compact()
         if self.pipelines or not self._dir_layout:
             # pipeline / non-dir path: trace/state written explicitly
             # from the staged round (pipelines must not affect the
@@ -797,12 +871,18 @@ class CrawlEngine:
         if self.compact_every and r % self.compact_every == 0:
             from pompspark.frontier import BAND_COL
 
-            self.store.compact(
-                band_col=BAND_COL[self.ordering] if self.banded_dequeue else None
-            )
-            if self.seen_filter is not None:
-                self.seen_filter.compact()
-            lap("compact")
+            band = BAND_COL[self.ordering] if self.banded_dequeue else None
+            if self.async_compact:
+                # overlap with the next round's dequeue + fetch; the
+                # deferred state trim lands at that round's
+                # _join_compact (guide §2.6 back-fill pattern)
+                self._start_compact(band)
+                lap("compact_submit")
+            else:
+                self.store.compact(band_col=band)
+                if self.seen_filter is not None:
+                    self.seen_filter.compact()
+                lap("compact")
         return n_dequeued
 
     # ------------------------------------------------------------ outputs

@@ -91,6 +91,11 @@ def normalize_seeds(spark, seeds, robots_df, round_: int = 0,
     raw = spark.createDataFrame(pdf)
 
     canon_udf, _, host_udf = register_udfs()
+    # nondeterministic marking stops the optimizer duplicating the
+    # UDFs below the pushed isNotNull filters (guide §4.4; same fix as
+    # canon.resolve_discoveries — pure functions, results unchanged)
+    canon_udf = canon_udf.asNondeterministic()
+    host_udf = host_udf.asNondeterministic()
     df = (
         raw.withColumn("url", canon_udf("url"))
         .filter(F.col("url").isNotNull())
@@ -391,7 +396,7 @@ def dequeue_banded(
             pred = pred | (
                 (F.col("priority") == F.lit(p)) & F.col(band_col).isin(bs)
             )
-        src = store.banded_source(pred)
+        src = store.banded_source(pred, info=info)
         eligible = store.queued(
             current_round, retry_delay_rounds, retry_enabled, source=src
         )
@@ -923,11 +928,17 @@ class FrontierStore:
                 bands.setdefault(m.group(1), []).append(int(m.group(2)))
         for v in bands.values():
             v.sort()
-        with open(self.band_marker_path(), "w") as f:
+        # write-then-rename: the marker is read concurrently by the
+        # next round's banded dequeue when compaction runs on the
+        # engine's background thread (r6 async compact) — a partial
+        # in-place write must never be observable.
+        tmp = self.band_marker_path() + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({
                 "dir": rel_dir, "band_col": band_col, "bands": bands,
                 "frontier_version": self.cat.current_version("frontier"),
             }, f)
+        os.replace(tmp, self.band_marker_path())
 
     def band_info(self) -> dict | None:
         """The banded compacted dir + its (priority -> bands) map, or
@@ -949,17 +960,29 @@ class FrontierStore:
             return None
         return info
 
-    def banded_source(self, band_pred) -> DataFrame:
+    def banded_source(self, band_pred, info: dict | None = None) -> DataFrame:
         """Frontier rows limited to ``band_pred`` over the banded
         compacted dir, UNION all rows of the (small) un-banded dirs
         appended since compaction. Partition pruning keeps unread
-        bands' files untouched."""
+        bands' files untouched.
+
+        ``info``: the band marker snapshot to use. dequeue_banded MUST
+        pass the one it built its band list from (r6 async compact): a
+        background compaction may commit a NEW marker mid-dequeue, and
+        applying an OLD band list's predicate to the NEW banded dir
+        would hide the bands the old list doesn't know about — the
+        dequeue would see an empty prefix and terminate the crawl
+        early. With the marker pinned, every commit interleaving is
+        exact: if the pinned dir has since been superseded its queued
+        rows are excluded by dir_filters and the NEW compacted dir is
+        read in full as an ordinary append (unpruned but complete)."""
         import json
         import os
 
         from pyspark.sql import types as T
 
-        info = self.band_info()
+        if info is None:
+            info = self.band_info()
         v = self.cat.current_version("frontier")
         snap = self.cat._read_snapshot("frontier", v)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
@@ -980,7 +1003,7 @@ class FrontierStore:
                 # replace_partition exclusions (incremental compact):
                 # this dir's queued rows were folded into a newer dir
                 df = df.filter(~F.col(c).isin(vals))
-            if d == info["dir"]:
+            if info is not None and d == info["dir"]:
                 df = df.filter(band_pred)
             parts.append(df)
         out = parts[0]
@@ -988,7 +1011,8 @@ class FrontierStore:
             out = out.unionByName(p_)
         return out
 
-    def compact(self, band_col: str | None = None) -> None:
+    def compact(self, band_col: str | None = None,
+                defer_state_trim: bool = False):
         """Fold TERMINAL transitions (fetched/error/dropped) into the
         frontier rows; transitions of urls whose latest state is
         'retry' must survive compaction — queued() needs their last
@@ -1009,13 +1033,29 @@ class FrontierStore:
         newly-terminal + retry-pending rows) lands in one new dir.
         ``incremental=False`` does the classic full rewrite (bounds
         total dir count; a real deployment would run it rarely, like
-        Iceberg's full rewrite_data_files)."""
-        self._compact(band_col, incremental=True)
+        Iceberg's full rewrite_data_files).
+
+        ``defer_state_trim`` (r6 async compact, guide §2.6): commit
+        only the FRONTIER fold here and return a zero-arg ``finish``
+        callable that commits the frontier_state trim later. Needed
+        when compaction runs on a background thread overlapping the
+        next round's dequeue: a reader that resolves frontier at the
+        PRE-fold version but frontier_state at the POST-trim version
+        would see previously-fetched rows as queued (the folded
+        terminal transitions are gone from both its tables). With the
+        trim deferred to the engine's main thread — strictly ordered
+        before that round's state append and after its dequeue — every
+        concurrent reader sees either (old frontier, old state) or
+        (folded frontier, old state), and both are exact (the fold is
+        redundant with the anti-join, never contradictory)."""
+        return self._compact(band_col, incremental=True,
+                             defer_state_trim=defer_state_trim)
 
     def compact_full(self, band_col: str | None = None) -> None:
         self._compact(band_col, incremental=False)
 
-    def _compact(self, band_col: str | None, incremental: bool) -> None:
+    def _compact(self, band_col: str | None, incremental: bool,
+                 defer_state_trim: bool = False):
         f = self.cat.read("frontier")
         if incremental:
             f = f.filter(F.col("state") == "queued")
@@ -1052,10 +1092,14 @@ class FrontierStore:
             )
         else:
             v = self.cat.overwrite("frontier", folded, partition_by=partition_by)
-        self.cat.overwrite("frontier_state", kept.select(*[
-            fld.name for fld in self._state_schema.fields
-        ]))
-        kept.unpersist()
+        def _trim_state() -> None:
+            self.cat.overwrite("frontier_state", kept.select(*[
+                fld.name for fld in self._state_schema.fields
+            ]))
+            kept.unpersist()
+
+        if not defer_state_trim:
+            _trim_state()
         # Band markers name hive subdirs of a posix data dir; on a
         # non-dir catalog (Iceberg) the same pruning comes from
         # partition stats on (priority, band) — band_info() stays None
@@ -1077,3 +1121,4 @@ class FrontierStore:
                 self.INDEX_FILES_PER_BUCKET * self.index_buckets
             ):
                 self.index_compact()
+        return _trim_state if defer_state_trim else None
