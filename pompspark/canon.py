@@ -145,6 +145,12 @@ def canonicalize_series(urls: pd.Series, bases: pd.Series | None = None) -> pd.S
     Already-canonical urls (the overwhelming majority of crawl links
     after the first normalization) take a vectorized regex fast path;
     only the remainder pays the per-string urllib cost."""
+    if not urls.notna().any():
+        # all-null batch: the engine's JVM rlike gate nulled every
+        # already-canonical href before the UDF call — on all-fast
+        # link batches EVERY batch lands here, so skip the str.match
+        # machinery entirely (r6; output identical: null in, null out)
+        return pd.Series(None, index=urls.index, dtype=object)
     fast = urls.str.match(_CANONICAL_RE, na=False)
     # nulls skip the per-string loop entirely: the engine's JVM-side
     # fast path nulls out already-canonical hrefs before the UDF call,
