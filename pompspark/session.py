@@ -100,6 +100,20 @@ def build_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
         )
+        # r6: vectorized-reader batch rows 4096 -> 512 (guide §6,
+        # measured on this host): the default pre-sizes every column
+        # vector for 4096 rows, which for ~30 KB html/text cells means
+        # ~120 MB of transient on-heap batch per task and the scan is
+        # allocation/GC-bound — the full 10^6-page html scan dropped
+        # 5.5-7.6 s -> 1.8-1.9 s at 512, and even narrow scans
+        # (frontier, ~100 B rows) measured faster (0.25 -> 0.16 s
+        # warm). 512 rows x 30 KB ≈ 15 MB per batch keeps fat-row
+        # scans allocation-light while staying large enough for
+        # vectorization on narrow rows. Env-overridable.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_PARQUET_BATCH_ROWS", "512"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python-worker crash forensics: without these a dead worker
         # reports only "exited unexpectedly (crashed)" (BENCH_r03's
