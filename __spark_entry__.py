@@ -1281,15 +1281,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trace_bfs": q_crawl_trace_bfs,
         "crawl_trace_dfs": q_crawl_trace_dfs,
         "politeness_schedule": q_politeness_schedule,
-        "minhash_near_dup": q_minhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
-        "simhash_groups": q_simhash_groups,
-        "simhash_near_dup": q_simhash_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
         "quality_lang_id": q_quality_lang_id,
+        # The three rows-only entries (no oracle_sql twin — numpy
+        # signature paths, pinned by tests instead) sit LAST so the
+        # harness's 50-entry correctness prefix is spent entirely on
+        # oracled queries (r5 verdict item #1: ann_topk_ivf /
+        # ann_topk_ivf_trained / quality_lang_id were the unchecked
+        # trio purely by dict position). Key set and every callable
+        # are unchanged — only the order moved.
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_groups": q_simhash_groups,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
